@@ -1,0 +1,174 @@
+"""Unscented covariance propagation.
+
+Two unscented transforms from the reference:
+
+* 2D -> 3D: propagate the per-view 2x2 keypoint covariances through the DLT
+  triangulation by re-triangulating 4k+1 sigma points drawn in the joint
+  2k-dimensional observation space (skeleton_3d_triang_mult_node.cpp:471-523).
+* 3D -> 2D: propagate a joint's 3x3 covariance through the camera projection
+  with 7 sigma points (skeleton_reproj_mult_node.cpp:56-75,189-204).
+
+Both fold the sigma-point axis into the batch, so the whole frame's UT is one
+fixed-shape program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from smartedgesensor3dhumanpose_tpu.ops import linalg, triangulation
+
+
+def triangulation_covariance(
+    P: jnp.ndarray,
+    kp: jnp.ndarray,
+    cov2d: jnp.ndarray,
+    view_mask: jnp.ndarray,
+    mean_xyz: jnp.ndarray,
+    kappa: float = 0.5,
+    sweeps: int = 8,
+) -> jnp.ndarray:
+    """3x3 covariance of a triangulated joint via the unscented transform.
+
+    Per valid view c, four sigma points perturb that view's (x, y) by the
+    columns of the 2x2 Cholesky factor scaled by b = sqrt(dim + kappa) with
+    dim = 2k (k = valid view count); one unperturbed sample carries weight
+    2*kappa / (2*(dim+kappa)), the others 1 / (2*(dim+kappa)). Each sigma
+    point is re-triangulated *unweighted* (the reference's default
+    weight_by_conf=false in calc_covariance, :518), and the covariance is the
+    weighted scatter around the confidence-weighted mean triangulation
+    (:508-523). Masked views carry zero perturbation and zero weight, so the
+    padded program equals the reference's variable-k math exactly.
+
+    Args:
+      P: [C, 3, 4] extrinsics.
+      kp: [..., C, 3] normalized keypoints (x, y, conf).
+      cov2d: [..., C, 3] packed per-view covariance (xx, xy, yy).
+      view_mask: [..., C] bool.
+      mean_xyz: [..., 3] the weighted DLT triangulation.
+      kappa: UT scaling (:475).
+
+    Returns:
+      [..., 3, 3] covariance.
+    """
+    dtype = kp.dtype
+    c = kp.shape[-2]
+    k = jnp.sum(view_mask, axis=-1).astype(dtype)  # [...]
+    dim = 2.0 * k
+    b = jnp.sqrt(dim + kappa)  # [...]
+
+    chol = linalg.chol2x2_packed(cov2d)  # [..., C, 3] = (l11, l21, l22)
+    chol = jnp.where(view_mask[..., None], chol, 0.0)
+    l11 = chol[..., 0]
+    l21 = chol[..., 1]
+    l22 = chol[..., 2]
+    zero = jnp.zeros_like(l11)
+    # Per-view perturbation deltas, 4 sigma points each: -L.col0, -L.col1,
+    # +L.col0, +L.col1 (reference mod_samples, :471-487).
+    # deltas: [..., C, 4, 2]
+    deltas = jnp.stack(
+        [
+            jnp.stack([-l11, -l21], axis=-1),
+            jnp.stack([zero, -l22], axis=-1),
+            jnp.stack([l11, l21], axis=-1),
+            jnp.stack([zero, l22], axis=-1),
+        ],
+        axis=-2,
+    ) * b[..., None, None, None]
+
+    # Expand to the sample axis: sample s = 4*c + v perturbs only view c.
+    # kp_samples: [..., S, C, 3] with S = 4C (the unperturbed sample is
+    # handled separately below).
+    batch = kp.shape[:-2]
+    eye_c = jnp.eye(c, dtype=dtype)  # [C(sample cam), C(view)]
+    # delta_s[..., cs, v, cv, 2] = deltas[..., cs, v, :] if cv == cs else 0
+    delta_s = deltas[..., :, :, None, :] * eye_c[:, None, :, None]
+    delta_s = delta_s.reshape(batch + (4 * c, c, 2))
+    kp_xy = kp[..., None, :, :2] + delta_s  # [..., S, C, 2]
+    conf = jnp.broadcast_to(kp[..., None, :, 2:3], kp_xy.shape[:-1] + (1,))
+    kp_samples = jnp.concatenate([kp_xy, conf], axis=-1)
+
+    mask_s = jnp.broadcast_to(view_mask[..., None, :], batch + (4 * c, c))
+    t_s = triangulation.triangulate(
+        P, kp_samples, mask_s, weight_by_conf=False, sweeps=sweeps
+    )  # [..., S, 3]
+    t_0 = triangulation.triangulate(
+        P, kp, view_mask, weight_by_conf=False, sweeps=sweeps
+    )  # [..., 3]
+
+    denom = 2.0 * (dim + kappa)  # [...]
+    w_s = jnp.repeat(view_mask, 4, axis=-1).astype(dtype) / denom[..., None]
+    w_0 = 2.0 * kappa / denom
+
+    d_s = t_s - mean_xyz[..., None, :]  # [..., S, 3]
+    d_0 = t_0 - mean_xyz  # [..., 3]
+    cov = linalg.heinsum("...s,...si,...sj->...ij", w_s, d_s, d_s)
+    cov = cov + w_0[..., None, None] * d_0[..., :, None] * d_0[..., None, :]
+    return cov
+
+
+def project_with_covariance(
+    xyz: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    P: jnp.ndarray,
+    K: jnp.ndarray,
+    kappa: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project 3D joints (with covariance) into every camera via a 3-dim UT.
+
+    Seven sigma points: the mean and +-sqrt(3+kappa) * chol(cov) columns
+    (skeleton_reproj_mult_node.cpp:62-75). Each is rigidly transformed into
+    every camera frame and pinhole-projected; the output keypoint is the
+    *weighted mean of the projections* and the 2x2 pixel covariance is their
+    weighted scatter (:202-204).
+
+    Args:
+      xyz: [..., 3] joints in the base frame.
+      cov3d: [..., 3, 3].
+      P: [C, 3, 4] base->cam extrinsics.
+      K: [C, 4] intrinsics (fx, fy, cx, cy).
+
+    Returns:
+      (mean_px [..., C, 2], cov_px [..., C, 3] packed (xx, xy, yy)).
+    """
+    dtype = xyz.dtype
+    dim = 3.0
+    b = jnp.sqrt(dim + kappa)
+    l = linalg.chol3x3(cov3d)  # [..., 3, 3]
+    cols = jnp.swapaxes(l, -1, -2) * b  # [..., 3(col), 3] — rows are L's columns
+    zero = jnp.zeros_like(xyz)[..., None, :]
+    offsets = jnp.concatenate([zero, -cols, cols], axis=-2)  # [..., 7, 3]
+    samples = xyz[..., None, :] + offsets  # [..., 7, 3]
+
+    # Transform into each camera and project: [..., 7, C, 2].
+    sam_h = jnp.concatenate(
+        [samples, jnp.ones(samples.shape[:-1] + (1,), dtype)], axis=-1
+    )
+    cam_pts = linalg.heinsum("cij,...sj->...sci", P, sam_h)  # [..., 7, C, 3]
+    z = cam_pts[..., 2]
+    z = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
+    px = jnp.stack(
+        [
+            K[:, 0] * cam_pts[..., 0] / z + K[:, 2],
+            K[:, 1] * cam_pts[..., 1] / z + K[:, 3],
+        ],
+        axis=-1,
+    )  # [..., 7, C, 2]
+
+    denom = 2.0 * (dim + kappa)
+    w = jnp.concatenate(
+        [
+            jnp.full((1,), 2.0 * kappa / denom, dtype),
+            jnp.full((6,), 1.0 / denom, dtype),
+        ]
+    )  # [7]
+    mean_px = linalg.heinsum("s,...sci->...ci", w, px)
+    d = px - mean_px[..., None, :, :]
+    cov_full = linalg.heinsum("s,...sci,...scj->...cij", w, d, d)
+    cov_px = jnp.stack(
+        [cov_full[..., 0, 0], cov_full[..., 0, 1], cov_full[..., 1, 1]],
+        axis=-1,
+    )
+    return mean_px, cov_px

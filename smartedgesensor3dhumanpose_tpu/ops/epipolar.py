@@ -1,0 +1,172 @@
+"""Epipolar geometry kernels for cross-view data association.
+
+Vectorizes the reference's calcCost (skeleton_3d_triang_mult_node.cpp:335-390)
+— the symmetric epipolar point-line distance between a person hypothesis'
+accumulated observations and a candidate detection, averaged over shared
+confident joints and over observations, with the fractional veto
+accumulation — into one einsum-shaped program over
+(hypotheses x observations x detections x joints).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from smartedgesensor3dhumanpose_tpu.ops import linalg
+
+
+def symmetric_epipolar_distance(
+    F: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray
+) -> jnp.ndarray:
+    """Symmetric point-to-epipolar-line distance d1 + d2.
+
+    d1 = |p2 . (F p1)| / ||(F p1)_xy||, d2 = |p1 . (F^T p2)| / ||(F^T p2)_xy||
+    (reference :355-362).
+
+    Args:
+      F: [..., 3, 3] fundamental matrices (view of p1 -> view of p2).
+      p1, p2: [..., 2] normalized image points.
+
+    Returns:
+      [...] distances.
+    """
+    p1h = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], axis=-1)
+    p2h = jnp.concatenate([p2, jnp.ones_like(p2[..., :1])], axis=-1)
+    l1 = linalg.heinsum("...ij,...j->...i", F, p1h)  # epipolar line of p1 in view 2
+    l2 = linalg.heinsum("...ji,...j->...i", F, p2h)  # F^T p2: line of p2 in view 1
+    n1 = jnp.sqrt(l1[..., 0] ** 2 + l1[..., 1] ** 2)
+    n2 = jnp.sqrt(l2[..., 0] ** 2 + l2[..., 1] ** 2)
+    d1 = jnp.abs(linalg.heinsum("...i,...i->...", p2h, l1)) / jnp.where(
+        n1 > 0, n1, 1.0
+    )
+    d2 = jnp.abs(linalg.heinsum("...i,...i->...", p1h, l2)) / jnp.where(
+        n2 > 0, n2, 1.0
+    )
+    return d1 + d2
+
+
+def association_cost(
+    hyp_kp: jnp.ndarray,
+    hyp_cam_mask: jnp.ndarray,
+    hyp_obs_score: jnp.ndarray,
+    det_kp: jnp.ndarray,
+    det_valid: jnp.ndarray,
+    F_to_det: jnp.ndarray,
+    min_kp_score: float,
+    max_epipolar_error: float,
+    max_cost: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hypothesis x detection epipolar cost matrix with veto flags.
+
+    Replicates calcCost (:335-390): per observation (camera already in the
+    hypothesis), average the symmetric epipolar distance over joints confident
+    in both views; average those per-observation costs over observations with
+    at least one shared joint. An observation votes to veto when its cost
+    exceeds the gate and it is either confident (score > 0.5) or the only
+    observation; the pairing is vetoed when the accumulated vote exceeds
+    1 - 1/(2 n_obs). Pairings with no usable observation get max_cost + veto.
+
+    Args:
+      hyp_kp: [H, C, J, 3] per-hypothesis per-camera normalized keypoints
+        (x, y, conf; conf < 0 where unobserved).
+      hyp_cam_mask: [H, C] bool — cameras contributing to each hypothesis.
+      hyp_obs_score: [H, C] per-observation person score.
+      det_kp: [D, J, 3] candidate detections in the current camera.
+      det_valid: [D] bool.
+      F_to_det: [C, 3, 3] fundamental matrices from each (potential
+        observation) camera to the current detection camera.
+      min_kp_score: joint confidence gate (g_triangulation_threshold).
+      max_epipolar_error: veto / feasibility gate (g_max_epipolar_error).
+      max_cost: MAX_COSTS.
+
+    Returns:
+      (cost [H, D], veto [H, D] bool).
+    """
+    # Joint usable in both views: [H, C, D, J].
+    hyp_conf_ok = hyp_kp[..., 2] > min_kp_score  # [H, C, J]
+    det_conf_ok = det_kp[..., 2] > min_kp_score  # [D, J]
+    both_ok = hyp_conf_ok[:, :, None, :] & det_conf_ok[None, None, :, :]
+
+    # Distances: broadcast hyp [H, C, 1, J, 2] vs det [1, 1, D, J, 2] with
+    # F [1, C, 1, 1, 3, 3].
+    d = symmetric_epipolar_distance(
+        F_to_det[None, :, None, None],
+        hyp_kp[:, :, None, :, :2],
+        jnp.broadcast_to(
+            det_kp[None, None, :, :, :2],
+            hyp_kp.shape[:2] + det_kp.shape[:2] + (2,),
+        ),
+    )  # [H, C, D, J]
+
+    n_joints = jnp.sum(both_ok, axis=-1)  # [H, C, D]
+    dist_sum = jnp.sum(jnp.where(both_ok, d, 0.0), axis=-1)
+    obs_cost = dist_sum / jnp.where(n_joints > 0, n_joints, 1)  # [H, C, D]
+
+    obs_in_hyp = hyp_cam_mask  # [H, C]
+    obs_used = obs_in_hyp[:, :, None] & (n_joints > 0)  # [H, C, D]
+    n_obs_in_hyp = jnp.sum(obs_in_hyp, axis=-1)  # [H]
+    n_obs_used = jnp.sum(obs_used, axis=1)  # [H, D] (sum over C)
+
+    total = jnp.sum(jnp.where(obs_used, obs_cost, 0.0), axis=1)  # [H, D]
+    cost = total / jnp.where(n_obs_used > 0, n_obs_used, 1)
+
+    # Veto accumulation (:344-381). Only confident observations (or a
+    # single-observation hypothesis) vote; each vote adds 1/n_obs_in_hyp.
+    confident = (hyp_obs_score > 0.5)[:, :, None] | (
+        n_obs_in_hyp[:, None, None] == 1
+    )
+    vote = obs_used & (obs_cost > max_epipolar_error) & confident
+    n_obs_f = jnp.maximum(n_obs_in_hyp, 1).astype(cost.dtype)
+    tmp_veto = jnp.sum(vote, axis=1).astype(cost.dtype) / n_obs_f[:, None]
+    tolerance = 1.0 - 1.0 / (2.0 * n_obs_f)
+    veto = tmp_veto > tolerance[:, None]
+
+    unusable = (n_obs_used == 0) | (n_obs_in_hyp[:, None] == 0)
+    cost = jnp.where(unusable, max_cost, cost)
+    veto = veto | unusable
+
+    # Invalid detection slots are never joinable.
+    cost = jnp.where(det_valid[None, :], cost, max_cost)
+    veto = veto | ~det_valid[None, :]
+    return cost, veto
+
+
+def pairwise_joint_epipolar_sq(
+    F: jnp.ndarray,
+    kp: jnp.ndarray,
+    view_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Squared symmetric epipolar distance between every pair of views.
+
+    Used by the 3-view outlier rejection (:748-792): for views (a, b) of the
+    same joint, d^2 = num1^2/||l1_xy||^2 + num2^2/||l2_xy||^2 where
+    l1 = F_ab p_a, l2 = F_ab^T p_b. Invalid pairs are zero.
+
+    Args:
+      F: [C, C, 3, 3] fundamental matrices.
+      kp: [..., C, 3] normalized keypoints.
+      view_mask: [..., C] bool.
+
+    Returns:
+      [..., C, C] symmetric matrix of squared distances (diagonal zero).
+    """
+    one = jnp.ones_like(kp[..., :1])
+    ph = jnp.concatenate([kp[..., :2], one], axis=-1)  # [..., C, 3]
+    l1 = linalg.heinsum("abij,...aj->...abi", F, ph)  # line of p_a in view b
+    l2 = linalg.heinsum("abji,...bj->...abi", F, ph)  # F^T p_b: line in view a
+    num1 = linalg.heinsum("...bi,...abi->...ab", ph, l1)
+    num2 = linalg.heinsum("...ai,...abi->...ab", ph, l2)
+    den1 = l1[..., 0] ** 2 + l1[..., 1] ** 2
+    den2 = l2[..., 0] ** 2 + l2[..., 1] ** 2
+    d2 = num1**2 / jnp.where(den1 > 0, den1, 1.0) + num2**2 / jnp.where(
+        den2 > 0, den2, 1.0
+    )
+    pair_ok = view_mask[..., :, None] & view_mask[..., None, :]
+    eye = jnp.eye(kp.shape[-2], dtype=bool)
+    d2 = jnp.where(pair_ok & ~eye, d2, 0.0)
+    # Symmetrize: the formula is already symmetric in exact arithmetic; use
+    # the upper triangle mirrored to make it exactly so.
+    upper = jnp.triu(d2)
+    return upper + jnp.swapaxes(upper, -1, -2)

@@ -1,0 +1,30 @@
+"""Test config: run on a virtual 8-device CPU mesh with float64 available.
+
+Must set the env vars before jax initializes its backends.
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel),
+# where float64 is emulated; tests want real f64 and an 8-device host mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The sandbox pre-imports jax (PYTHONPATH site hook), so the env var alone can
+# be too late; the config route always works.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
