@@ -277,7 +277,7 @@ def hall_extrinsics(num_cameras: int = 16) -> np.ndarray:
 
 def hall_rig(
     num_cameras: int = 16,
-    intrinsics: Tuple[float, float, float, float] = (613.0, 613.0, 320.0, 240.0),
+    intrinsics: Tuple[float, float, float, float] = (420.0, 420.0, 320.0, 240.0),
     image_size: Tuple[int, int] = (640, 480),
     dtype=jnp.float32,
 ) -> CameraRig:

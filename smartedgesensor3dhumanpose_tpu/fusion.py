@@ -1,0 +1,597 @@
+"""Multi-view fusion: cross-view association + triangulation of one frame.
+
+TPU-native rebuild of the reference's skeleton_3d node hot path
+(skeleton_3d_triang_mult_node.cpp triangulate_persons, :525-997):
+
+* iterative greedy association over the camera axis (Tanke & Gall 2019,
+  :562-674) — a `lax.scan` over cameras carrying a fixed-slot hypothesis set,
+* per-joint confidence-weighted DLT triangulation with 3-view / leave-one-out
+  outlier rejection (:676-844) — all leave-one-out variants computed as one
+  extra batch axis and selected with `argmin`/`where`,
+* unscented 3D covariance (:508-523, via ops.covariance),
+* anatomical plausibility filters and skeleton merging (:861-996).
+
+The reference parallelizes hypotheses with OpenMP threads and erases views
+from std::vectors; here every hypothesis/joint/drop-candidate/sigma-point is
+a batch lane and every "erase" is a mask update, so the whole frame is one
+fixed-shape XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import cameras as cameras_lib
+from smartedgesensor3dhumanpose_tpu import skeleton
+from smartedgesensor3dhumanpose_tpu.config import FusionConfig
+from smartedgesensor3dhumanpose_tpu.ops import (
+    covariance,
+    epipolar,
+    hungarian,
+    linalg,
+    triangulation,
+)
+from smartedgesensor3dhumanpose_tpu.types import CameraRig, Frame, Persons3D
+
+# Costs fed to the assignment solver are clipped here: all placeholder
+# (infeasible) entries collapse to one value that still dominates any real
+# epipolar cost, keeping float32 reduced costs accurate (see ops.hungarian).
+_ASSIGN_COST_CLIP = 1.0e3
+
+
+class HypothesisSet(NamedTuple):
+    """Fixed-slot person hypotheses accumulated across cameras.
+
+    Mirrors the reference's PersonHypothesis vectors (:153-159) with the
+    camera axis materialized: slot h observes camera c iff cam_mask[h, c].
+    """
+
+    kp: jnp.ndarray        # [H, C, J, 3] normalized keypoints (x, y, conf)
+    cov: jnp.ndarray       # [H, C, J, 3] packed normalized covariance
+    cam_mask: jnp.ndarray  # [H, C] bool
+    obs_score: jnp.ndarray  # [H, C] per-observation person score
+    n_hyp: jnp.ndarray     # [] int32 live hypothesis count
+
+
+def _empty_hypotheses(h: int, c: int, j: int, dtype) -> HypothesisSet:
+    kp = jnp.zeros((h, c, j, 3), dtype).at[..., 2].set(-1.0)
+    return HypothesisSet(
+        kp=kp,
+        cov=jnp.zeros((h, c, j, 3), dtype),
+        cam_mask=jnp.zeros((h, c), bool),
+        obs_score=jnp.zeros((h, c), dtype),
+        n_hyp=jnp.zeros((), jnp.int32),
+    )
+
+
+def _scatter_dets_into_slots(
+    hyps: HypothesisSet,
+    cam_idx: jnp.ndarray,
+    det_kp: jnp.ndarray,
+    det_cov: jnp.ndarray,
+    det_score: jnp.ndarray,
+    det_to_slot: jnp.ndarray,
+) -> HypothesisSet:
+    """Write detection d of the current camera into hypothesis slot
+    det_to_slot[d] (-1 or >= H slots are dropped)."""
+    h = hyps.kp.shape[0]
+    ok = (det_to_slot >= 0) & (det_to_slot < h)
+    slot = jnp.where(ok, det_to_slot, h)  # out-of-range scatter is dropped
+    kp = hyps.kp.at[slot, cam_idx].set(det_kp, mode="drop")
+    cov = hyps.cov.at[slot, cam_idx].set(det_cov, mode="drop")
+    cam_mask = hyps.cam_mask.at[slot, cam_idx].set(ok, mode="drop")
+    obs_score = hyps.obs_score.at[slot, cam_idx].set(det_score, mode="drop")
+    return hyps._replace(kp=kp, cov=cov, cam_mask=cam_mask, obs_score=obs_score)
+
+
+def _associate_camera(
+    hyps: HypothesisSet,
+    cam_idx: jnp.ndarray,
+    det_kp: jnp.ndarray,
+    det_cov: jnp.ndarray,
+    det_score: jnp.ndarray,
+    det_ok: jnp.ndarray,
+    F_to_cam: jnp.ndarray,
+    config: FusionConfig,
+) -> HypothesisSet:
+    """One greedy-association step: fold camera `cam_idx`'s detections into
+    the hypothesis set (reference :588-674).
+
+    When no hypothesis exists yet every valid detection seeds one — which
+    reproduces the reference's 'first camera with usable detections seeds the
+    set' rule (:566-586) without a special case.
+    """
+    h, d = hyps.kp.shape[0], det_kp.shape[0]
+
+    cost, veto = epipolar.association_cost(
+        hyps.kp,
+        hyps.cam_mask,
+        hyps.obs_score,
+        det_kp,
+        det_ok,
+        F_to_cam,
+        config.min_kp_score,
+        config.max_epipolar_error,
+        config.max_cost,
+    )
+    mask = ~veto & (cost < config.max_epipolar_error)  # feasible pairings
+
+    # Run the assignment solver only when some row or column has more than
+    # one feasible pairing (:628); otherwise the mask itself is the unique
+    # assignment.
+    need_solver = jnp.any(jnp.sum(mask, axis=0) > 1) | jnp.any(
+        jnp.sum(mask, axis=1) > 1
+    )
+
+    def from_mask(_):
+        any_row = jnp.any(mask, axis=1)
+        return jnp.where(
+            any_row, jnp.argmax(mask, axis=1).astype(jnp.int32), -1
+        )
+
+    def from_solver(_):
+        return hungarian.linear_sum_assignment(
+            jnp.minimum(cost, _ASSIGN_COST_CLIP)
+        )
+
+    assignment = jax.lax.cond(need_solver, from_solver, from_mask, None)
+
+    # Interpret the assignment (:636-673). An assigned *valid* detection
+    # either extends the hypothesis (feasible) or spawns a new one
+    # (assigned by the solver but infeasible); unassigned valid detections
+    # spawn new hypotheses too.
+    det_of_hyp = jnp.where(assignment >= 0, assignment, 0)
+    assigned_valid = (assignment >= 0) & det_ok[det_of_hyp]
+    pair_mask = mask[jnp.arange(h), det_of_hyp]
+    extend = assigned_valid & pair_mask  # [H]
+    spawn_from_hyp = assigned_valid & ~pair_mask  # [H] spawns det_of_hyp[h]
+
+    handled = jnp.zeros((d,), bool).at[det_of_hyp].max(assigned_valid)
+    spawn_unhandled = det_ok & ~handled  # [D]
+
+    # Extend: write each hypothesis' assigned detection into (h, cam_idx).
+    ext_kp = det_kp[det_of_hyp]
+    ext_cov = det_cov[det_of_hyp]
+    ext_score = det_score[det_of_hyp]
+    sel = extend[:, None, None]
+    kp = hyps.kp.at[:, cam_idx].set(
+        jnp.where(sel, ext_kp, hyps.kp[:, cam_idx])
+    )
+    cov = hyps.cov.at[:, cam_idx].set(
+        jnp.where(sel, ext_cov, hyps.cov[:, cam_idx])
+    )
+    cam_mask = hyps.cam_mask.at[:, cam_idx].set(
+        hyps.cam_mask[:, cam_idx] | extend
+    )
+    obs_score = hyps.obs_score.at[:, cam_idx].set(
+        jnp.where(extend, ext_score, hyps.obs_score[:, cam_idx])
+    )
+    hyps = hyps._replace(kp=kp, cov=cov, cam_mask=cam_mask, obs_score=obs_score)
+
+    # Spawn order matches the reference: first the solver-assigned-but-
+    # infeasible pairs in hypothesis order (:641-650), then unhandled
+    # detections in detection order (:662-673).
+    n0 = hyps.n_hyp
+    slot1_of_hyp = n0 + jnp.cumsum(spawn_from_hyp.astype(jnp.int32)) - 1
+    n1 = n0 + jnp.sum(spawn_from_hyp.astype(jnp.int32))
+    slot2_of_det = n1 + jnp.cumsum(spawn_unhandled.astype(jnp.int32)) - 1
+    n2 = n1 + jnp.sum(spawn_unhandled.astype(jnp.int32))
+
+    # Map spawn-1 (indexed by hypothesis) onto detections for scattering.
+    det_to_slot = jnp.full((d,), -1, jnp.int32)
+    det_to_slot = det_to_slot.at[det_of_hyp].max(
+        jnp.where(spawn_from_hyp, slot1_of_hyp, -1)
+    )
+    det_to_slot = jnp.where(spawn_unhandled, slot2_of_det, det_to_slot)
+
+    hyps = _scatter_dets_into_slots(
+        hyps, cam_idx, det_kp, det_cov, det_score, det_to_slot
+    )
+    return hyps._replace(
+        n_hyp=jnp.minimum(n2, hyps.kp.shape[0]).astype(jnp.int32)
+    )
+
+
+def associate(
+    kp_n: jnp.ndarray,
+    cov_n: jnp.ndarray,
+    det_score: jnp.ndarray,
+    det_ok: jnp.ndarray,
+    rig: CameraRig,
+    config: FusionConfig,
+) -> HypothesisSet:
+    """Greedy cross-view association over all cameras.
+
+    Args:
+      kp_n: [C, D, J, 3] normalized keypoints (conf -1 where invalid).
+      cov_n: [C, D, J, 3] normalized packed covariances.
+      det_score: [C, D] per-detection person scores.
+      det_ok: [C, D] detection usable (valid slot with enough keypoints).
+      rig: camera rig (F used).
+
+    Returns:
+      HypothesisSet with fixed max_hypotheses slots.
+    """
+    c, d, j, _ = kp_n.shape
+    hyps0 = _empty_hypotheses(config.max_hypotheses, c, j, kp_n.dtype)
+    # F_to_cam[c] = F[:, c]: fundamental matrices from every camera into c.
+    f_to_cam = jnp.swapaxes(rig.F, 0, 1)
+
+    def step(hyps, xs):
+        cam_idx, det_kp, det_cov, d_score, d_ok, f_c = xs
+        return (
+            _associate_camera(
+                hyps, cam_idx, det_kp, det_cov, d_score, d_ok, f_c, config
+            ),
+            None,
+        )
+
+    hyps, _ = jax.lax.scan(
+        step,
+        hyps0,
+        (jnp.arange(c, dtype=jnp.int32), kp_n, cov_n, det_score, det_ok, f_to_cam),
+    )
+    return hyps
+
+
+def _select_outlier_drops(
+    err0: jnp.ndarray,
+    k: jnp.ndarray,
+    pair_d2: jnp.ndarray,
+    loo_err: jnp.ndarray,
+    view_mask: jnp.ndarray,
+    config: FusionConfig,
+) -> jnp.ndarray:
+    """Choose which view (if any) to drop per joint (:748-838).
+
+    Args:
+      err0: [...] base weighted reprojection error.
+      k: [...] valid view count.
+      pair_d2: [..., C, C] pairwise squared epipolar distances between views.
+      loo_err: [..., C] reprojection error of the leave-view-c-out solution.
+      view_mask: [..., C] bool.
+
+    Returns:
+      drop: [...] int32 camera index to drop, or -1.
+    """
+    big = jnp.asarray(3.0e38, err0.dtype)
+    thresh = config.reproj_error_max_acceptable
+
+    # --- exactly 3 views (:748-792): drop the view whose removal leaves the
+    # smallest pairwise epipolar distance between the remaining two; accept
+    # only if it beats err0^2 (the reference's initialization).
+    total_pairs = jnp.sum(jnp.triu(pair_d2), axis=(-1, -2))
+    remaining_d2 = total_pairs[..., None] - jnp.sum(pair_d2, axis=-1)
+    remaining_d2 = jnp.where(view_mask, remaining_d2, big)
+    best3 = jnp.argmin(remaining_d2, axis=-1).astype(jnp.int32)
+    best3_val = jnp.take_along_axis(
+        remaining_d2, best3[..., None], axis=-1
+    )[..., 0]
+    # The reference casts err^2 to float for the initial bestDist.
+    drop3 = jnp.where(best3_val < (err0 * err0), best3, -1)
+
+    # --- 4+ views (:793-838): keep the leave-one-out solution if its error
+    # improves on all tried so far AND is at least 10% better than err0.
+    cand = view_mask & (loo_err < 0.9 * err0[..., None])
+    loo_masked = jnp.where(cand, loo_err, big)
+    best4 = jnp.argmin(loo_masked, axis=-1).astype(jnp.int32)
+    found4 = jnp.any(cand, axis=-1)
+    drop4 = jnp.where(found4, best4, -1)
+
+    drop = jnp.where(
+        (err0 > thresh) & (k == 3),
+        drop3,
+        jnp.where((err0 > thresh) & (k >= 4), drop4, -1),
+    )
+    return drop
+
+
+def triangulate_hypotheses(
+    hyps: HypothesisSet,
+    rig: CameraRig,
+    config: FusionConfig,
+) -> Persons3D:
+    """Triangulate every hypothesis into a 21-joint fusion skeleton.
+
+    Covers the reference's per-hypothesis OpenMP loop (:676-982): view
+    gathering, weighted DLT, outlier rejection, score down-weighting, UT
+    covariance, limb-length covariance inflation, root/feet gates.
+    """
+    dtype = hyps.kp.dtype
+    model = skeleton.input_model(config.pose_method)
+    h, c, j, _ = hyps.kp.shape
+    P = rig.P
+
+    # Per-(hypothesis, joint) view mask: camera in hypothesis and keypoint
+    # confident (>= threshold for triangulation, :725).
+    kp_hj = jnp.swapaxes(hyps.kp, 1, 2)  # [H, J, C, 3]
+    cov_hj = jnp.swapaxes(hyps.cov, 1, 2)  # [H, J, C, 3]
+    conf = kp_hj[..., 2]
+    view_mask = hyps.cam_mask[:, None, :] & (conf >= config.min_kp_score)
+    k = jnp.sum(view_mask, axis=-1)  # [H, J]
+
+    # Base triangulation (weighted) + error.
+    xyz0, err0 = triangulation.triangulate_with_error(
+        P, kp_hj, view_mask, weight_by_conf=True
+    )
+
+    # Leave-one-out solutions for every view (used by both rejection paths).
+    loo_mask = view_mask[..., None, :] & ~jnp.eye(c, dtype=bool)  # [H,J,C,C]
+    kp_loo = jnp.broadcast_to(kp_hj[..., None, :, :], (h, j, c, c, 3))
+    xyz_loo, err_loo = triangulation.triangulate_with_error(
+        P, kp_loo, loo_mask, weight_by_conf=True
+    )  # [H, J, C(drop)], err [H, J, C]
+
+    pair_d2 = epipolar.pairwise_joint_epipolar_sq(rig.F, kp_hj, view_mask)
+
+    drop = _select_outlier_drops(err0, k, pair_d2, err_loo, view_mask, config)
+    dropped = drop >= 0
+    drop_idx = jnp.where(dropped, drop, 0)
+
+    final_mask = view_mask & ~(
+        dropped[..., None]
+        & (jnp.arange(c)[None, None, :] == drop_idx[..., None])
+    )
+    err = jnp.where(
+        dropped,
+        jnp.take_along_axis(err_loo, drop_idx[..., None], axis=-1)[..., 0],
+        err0,
+    )
+
+    # Final positions: recentered two-pass solve on the final view set for
+    # float32 accuracy (equals the selected base/leave-one-out solution to
+    # within micrometers, see ops.triangulation.triangulate_refined).
+    xyz = triangulation.triangulate_refined(
+        P, kp_hj, final_mask, weight_by_conf=True
+    )
+
+    # Average score over the views used (:738, updated at :789,818-822).
+    k_final = jnp.sum(final_mask, axis=-1)
+    conf_sum = jnp.sum(jnp.where(final_mask, conf, 0.0), axis=-1)
+    avg_score = conf_sum / jnp.maximum(k_final, 1).astype(dtype)
+    # Still-large error: down-weight (:840-844).
+    scale = jnp.where(
+        err > config.reproj_error_max_acceptable,
+        config.reproj_error_max_acceptable / jnp.maximum(err, 1e-20),
+        1.0,
+    )
+    avg_score = avg_score * scale
+
+    joint_valid = k >= 2  # triangulable at all (:734-736)
+
+    # Unscented covariance on the final view set (:846-847).
+    cov3d = covariance.triangulation_covariance(
+        P, kp_hj, cov_hj, final_mask, xyz, kappa=config.ut_kappa
+    )
+
+    # ---- scatter 17 input joints into the 21-joint fusion layout ----
+    to_fusion = jnp.asarray(model.to_fusion)
+    kf = skeleton.NUM_FUSION_JOINTS
+    score17 = jnp.where(joint_valid, avg_score, 0.0)
+    xyz17 = jnp.where(joint_valid[..., None], xyz, 0.0)
+    cov17 = jnp.where(joint_valid[..., None, None], cov3d, 0.0)
+    xyz_f = jnp.zeros((h, kf, 3), dtype).at[:, to_fusion].set(xyz17)
+    score_f = jnp.zeros((h, kf), dtype).at[:, to_fusion].set(score17)
+    cov_f = jnp.zeros((h, kf, 3, 3), dtype).at[:, to_fusion].set(cov17)
+
+    xyz_f, score_f, cov_f, n_pre, n_dropped, has_root = (
+        _apply_limb_inflation_and_gates(xyz_f, score_f, cov_f, model, config)
+    )
+    return Persons3D(
+        xyz=xyz_f,
+        score=score_f,
+        cov=cov_f,
+        valid=_person_gate(
+            xyz_f, score_f, n_pre, n_dropped, has_root, config
+        ),
+        person_id=-jnp.ones((h,), jnp.int32),
+    )
+
+
+def _apply_limb_inflation_and_gates(
+    xyz_f: jnp.ndarray,
+    score_f: jnp.ndarray,
+    cov_f: jnp.ndarray,
+    model: skeleton.InputModel,
+    config: FusionConfig,
+):
+    """Limb-length covariance inflation (:861-883) + root-distance gate
+    (:923-953). Operates on the fusion (21-joint) layout.
+
+    Returns (xyz, score, cov, n_valid_pre_gate, n_dropped, has_root) — the
+    counts feed the reference's person-level valid-keypoint arithmetic."""
+    dtype = xyz_f.dtype
+    to_fusion = np.asarray(model.to_fusion)
+    parent17 = np.asarray(model.parent)
+    limb_len = np.asarray(model.limb_length)
+    limb_sig = np.asarray(model.limb_sigma)
+
+    # For each of the 17 input joints, inflate its fusion slot when the
+    # parent joint exists and the limb length is modeled.
+    add_sigma = jnp.zeros_like(score_f)  # [H, K] sigma to add per joint
+    for j17 in range(len(to_fusion)):
+        fj = int(to_fusion[j17])
+        pj17 = int(parent17[j17])
+        if pj17 >= 0 and limb_len[j17] > 0:
+            pf = int(to_fusion[pj17])
+            dist = jnp.linalg.norm(xyz_f[:, fj] - xyz_f[:, pf], axis=-1)
+            sig = (
+                config.limb_cov_offset_sigma
+                * (dist - float(limb_len[j17]))
+                / float(limb_sig[j17])
+            )
+            active = (score_f[:, fj] > 0) & (score_f[:, pf] > 0)
+            add_sigma = add_sigma.at[:, fj].add(jnp.where(active, sig, 0.0))
+    # Shoulder special case for the COCO model (:875-882): no neck joint, so
+    # gate the shoulder pair's mutual distance; inflates both shoulders.
+    r17, l17 = model.shoulder_pair
+    if r17 >= 0:
+        rf, lf = int(to_fusion[r17]), int(to_fusion[l17])
+        dist = jnp.linalg.norm(xyz_f[:, rf] - xyz_f[:, lf], axis=-1)
+        sig = (
+            config.limb_cov_offset_sigma
+            * (dist - model.shoulder_dist)
+            / model.shoulder_sigma
+        )
+        active = (score_f[:, rf] > 0) & (score_f[:, lf] > 0)
+        sig = jnp.where(active, sig, 0.0)
+        add_sigma = add_sigma.at[:, rf].add(sig)
+        add_sigma = add_sigma.at[:, lf].add(sig)
+
+    cov_f = cov_f + (add_sigma**2)[..., None, None] * jnp.eye(3, dtype=dtype)
+
+    # Root-distance gate (:923-953): joints farther than the limit from the
+    # root (MidHip, or hip-mean) are invalidated.
+    n_pre = jnp.sum(score_f > 0, axis=1)
+    root_xyz, root_score = _root_of(xyz_f, score_f)
+    dist_root = jnp.linalg.norm(xyz_f - root_xyz[:, None, :], axis=-1)
+    drop = (
+        (root_score > 0)[:, None]
+        & (score_f > 0)
+        & (dist_root > config.max_joint_dist_to_root)
+    )
+    n_dropped = jnp.sum(drop, axis=1)
+    score_f = jnp.where(drop, 0.0, score_f)
+    xyz_f = jnp.where(drop[..., None], 0.0, xyz_f)
+    cov_f = jnp.where(drop[..., None, None], 0.0, cov_f)
+    return xyz_f, score_f, cov_f, n_pre, n_dropped, root_score > 0
+
+
+def _root_of(
+    xyz_f: jnp.ndarray, score_f: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Root joint: MidHip if present, else the mean of both hips
+    (:923-935)."""
+    midhip = skeleton.MIDHIP
+    lhip, rhip = skeleton.LHIP, skeleton.RHIP
+    have_mid = score_f[:, midhip] > 0
+    have_hips = (score_f[:, lhip] > 0) & (score_f[:, rhip] > 0)
+    hip_mean = 0.5 * (xyz_f[:, lhip] + xyz_f[:, rhip])
+    hip_score = 0.5 * (score_f[:, lhip] + score_f[:, rhip])
+    root_xyz = jnp.where(
+        have_mid[:, None],
+        xyz_f[:, midhip],
+        jnp.where(have_hips[:, None], hip_mean, 0.0),
+    )
+    root_score = jnp.where(
+        have_mid, score_f[:, midhip], jnp.where(have_hips, hip_score, 0.0)
+    )
+    return root_xyz, root_score
+
+
+def _person_gate(
+    xyz_f: jnp.ndarray,
+    score_f: jnp.ndarray,
+    n_pre: jnp.ndarray,
+    n_dropped: jnp.ndarray,
+    has_root: jnp.ndarray,
+    config: FusionConfig,
+) -> jnp.ndarray:
+    """Person validity: feet-height plausibility (:955-966) and the
+    valid-keypoint count gate (:968).
+
+    The reference's counter starts at the triangulated-joint count and, when
+    a root exists, is decremented once per dropped joint *and* once per
+    originally-empty fusion slot (:938-952) — so the effective count is
+    n_pre - n_dropped - (21 - n_pre). Without a root it stays n_pre. We
+    reproduce that arithmetic exactly.
+    """
+    kf = score_f.shape[1]
+    la, ra = skeleton.LANKLE, skeleton.RANKLE
+    have_l = score_f[:, la] > 0
+    have_r = score_f[:, ra] > 0
+    feet_h = jnp.where(
+        have_l & have_r,
+        0.5 * (xyz_f[:, la, 2] + xyz_f[:, ra, 2]),
+        jnp.where(
+            have_l, xyz_f[:, la, 2], jnp.where(have_r, xyz_f[:, ra, 2], 0.0)
+        ),
+    )
+    feet_ok = jnp.abs(feet_h) <= config.max_feet_height
+
+    num_valid = jnp.where(has_root, n_pre - n_dropped - (kf - n_pre), n_pre)
+    return feet_ok & (num_valid > config.min_num_valid_keypoints)
+
+
+def merge_close_persons(persons: Persons3D, config: FusionConfig) -> Persons3D:
+    """Greedy pairwise merge of skeletons closer than the threshold
+    (:984-996). Sequential by construction (each merge updates person i
+    before later comparisons), so it runs as a fori_loop over the fixed
+    pair list."""
+    p = persons.xyz.shape[0]
+    if p < 2:
+        return persons
+    pairs = np.array(
+        [(i, jj) for i in range(p) for jj in range(i + 1, p)], dtype=np.int32
+    )
+    pair_i = jnp.asarray(pairs[:, 0])
+    pair_j = jnp.asarray(pairs[:, 1])
+
+    def body(idx, state):
+        xyz, score, cov, valid = state
+        i = pair_i[idx]
+        jj = pair_j[idx]
+        both = valid[i] & valid[jj]
+        # Mean joint distance over joints valid in both (calc_3D_dist,
+        # :392-408).
+        joint_ok = (score[i] > 0) & (score[jj] > 0)
+        d = jnp.linalg.norm(xyz[i] - xyz[jj], axis=-1)
+        n = jnp.sum(joint_ok)
+        mean_d = jnp.sum(jnp.where(joint_ok, d, 0.0)) / jnp.maximum(n, 1)
+        do_merge = both & (n > 0) & (mean_d < config.merge_dist_thresh)
+
+        # merge_persons (:410-423): score-weighted position, max score,
+        # averaged covariance — for every joint where the combined score > 0.
+        si = score[i]
+        sj = score[jj]
+        tot = si + sj
+        any_score = tot > 0
+        w_i = jnp.where(any_score, si / jnp.where(any_score, tot, 1.0), 0.0)
+        merged_xyz = jnp.where(
+            any_score[:, None],
+            w_i[:, None] * xyz[i] + (1 - w_i)[:, None] * xyz[jj],
+            xyz[i],
+        )
+        merged_score = jnp.where(any_score, jnp.maximum(si, sj), si)
+        merged_cov = jnp.where(
+            any_score[:, None, None], 0.5 * (cov[i] + cov[jj]), cov[i]
+        )
+
+        xyz = xyz.at[i].set(jnp.where(do_merge, merged_xyz, xyz[i]))
+        score = score.at[i].set(jnp.where(do_merge, merged_score, score[i]))
+        cov = cov.at[i].set(jnp.where(do_merge, merged_cov, cov[i]))
+        valid = valid.at[jj].set(jnp.where(do_merge, False, valid[jj]))
+        return xyz, score, cov, valid
+
+    xyz, score, cov, valid = jax.lax.fori_loop(
+        0,
+        pairs.shape[0],
+        body,
+        (persons.xyz, persons.score, persons.cov, persons.valid),
+    )
+    return persons._replace(xyz=xyz, score=score, cov=cov, valid=valid)
+
+
+def fuse_frame(frame: Frame, rig: CameraRig, config: FusionConfig) -> Persons3D:
+    """Full fusion of one synchronized frame: normalize -> associate ->
+    triangulate -> gate -> merge (the whole skeleton_3d node per-frame
+    path)."""
+    kp_n, cov_n, kp_ok = cameras_lib.normalize_keypoints(
+        frame.kp2d, frame.cov2d, rig.K, config.min_kp_score
+    )
+    # A detection participates only with more than half its keypoints valid
+    # (:579,599) and a populated slot.
+    enough = jnp.sum(kp_ok, axis=-1) > (config.num_input_joints // 2)
+    det_ok = frame.det_valid & enough
+
+    hyps = associate(kp_n, cov_n, frame.det_score, det_ok, rig, config)
+    # Hypotheses need >= 2 observations to triangulate (:684).
+    persons = triangulate_hypotheses(hyps, rig, config)
+    active = jnp.arange(persons.valid.shape[0]) < hyps.n_hyp
+    n_obs = jnp.sum(hyps.cam_mask, axis=-1)
+    persons = persons._replace(valid=persons.valid & active & (n_obs >= 2))
+    return merge_close_persons(persons, config)

@@ -1,0 +1,227 @@
+"""Synthetic multi-camera pose scene generator.
+
+The reference is demoed against `poses2D_16cam.bag` (16 cameras, 6 people —
+README.md:41-45), which is hosted externally. This module generates an
+equivalent synthetic hall scene with exact ground truth: articulated 17-joint
+skeletons walking through the capture volume, projected into every camera
+with configurable noise, per-keypoint covariance, confidence jitter, dropped
+joints and dropped detections. Used by the test suite (golden end-to-end
+tolerances), bench.py, and the demo replay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import cameras as cameras_lib
+from smartedgesensor3dhumanpose_tpu import skeleton
+from smartedgesensor3dhumanpose_tpu.types import CameraRig
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    num_cameras: int = 16
+    num_people: int = 6
+    num_frames: int = 100
+    frame_rate: float = 30.0
+    # Hall extents (people wander inside this box, meters, base frame).
+    area: Tuple[float, float] = (4.0, 4.0)
+    walk_speed: float = 1.0  # m/s
+    # Observation model.
+    pixel_noise: float = 1.5  # std of added 2D noise (pixels)
+    conf_range: Tuple[float, float] = (0.45, 0.98)
+    keypoint_dropout: float = 0.05  # per-joint missing probability
+    detection_dropout: float = 0.02  # per-person-per-camera missing prob
+    # Camera timing jitter (seconds) around the nominal frame time.
+    stamp_jitter: float = 0.004
+    # Permute detection slots independently per camera (real detectors emit
+    # people in arbitrary order; association must not rely on alignment).
+    shuffle_detections: bool = True
+    seed: int = 0
+
+
+# Canonical standing pose offsets for the 17 COCO joints relative to the
+# mid-hip (x right, y forward, z up), roughly human-proportioned.
+_COCO_POSE = np.array(
+    [
+        (0.00, 0.07, 0.62),   # nose
+        (-0.03, 0.06, 0.66),  # left eye
+        (0.03, 0.06, 0.66),   # right eye
+        (-0.08, 0.02, 0.64),  # left ear
+        (0.08, 0.02, 0.64),   # right ear
+        (-0.18, 0.00, 0.48),  # left shoulder
+        (0.18, 0.00, 0.48),   # right shoulder
+        (-0.22, 0.02, 0.22),  # left elbow
+        (0.22, 0.02, 0.22),   # right elbow
+        (-0.24, 0.05, -0.02), # left wrist
+        (0.24, 0.05, -0.02),  # right wrist
+        (-0.10, 0.00, 0.00),  # left hip
+        (0.10, 0.00, 0.00),   # right hip
+        (-0.11, 0.02, -0.45), # left knee
+        (0.11, 0.02, -0.45),  # right knee
+        (-0.12, 0.04, -0.88), # left ankle
+        (0.12, 0.04, -0.88),  # right ankle
+    ]
+)
+_HIP_HEIGHT = 0.92
+
+
+def _person_trajectories(cfg: SceneConfig, rng: np.random.Generator):
+    """Smooth random-walk trajectories for each person, [T, P, 2]."""
+    t = cfg.num_frames
+    p = cfg.num_people
+    dt = 1.0 / cfg.frame_rate
+    pos = np.zeros((t, p, 2))
+    ax, ay = cfg.area
+    pos[0] = rng.uniform([-ax / 2, -ay / 2], [ax / 2, ay / 2], size=(p, 2))
+    heading = rng.uniform(0, 2 * np.pi, size=p)
+    for ti in range(1, t):
+        heading += rng.normal(0, 0.3, size=p)
+        step = cfg.walk_speed * dt
+        nxt = pos[ti - 1] + step * np.stack(
+            [np.cos(heading), np.sin(heading)], axis=-1
+        )
+        # Bounce off the walls.
+        for d, lim in enumerate((ax / 2, ay / 2)):
+            over = np.abs(nxt[:, d]) > lim
+            heading[over] = np.pi - heading[over] if d == 0 else -heading[over]
+            nxt[:, d] = np.clip(nxt[:, d], -lim, lim)
+        pos[ti] = nxt
+    return pos
+
+
+def generate_scene(cfg: SceneConfig, rig: Optional[CameraRig] = None):
+    """Generate ground-truth skeletons and noisy per-camera 2D observations.
+
+    Returns a dict of NumPy arrays:
+      gt_xyz:      [T, P, 17, 3] ground-truth joints (base frame).
+      kp2d:        [T, C, P, 17, 3] pixel observations (x, y, conf);
+                   conf = 0 where dropped.
+      cov2d:       [T, C, P, 17, 3] packed 2x2 pixel covariance (xx, xy, yy).
+      det_valid:   [T, C, P] bool.
+      det_score:   [T, C, P].
+      cam_stamp:   [T, C] per-camera timestamps (s).
+      fb_delay:    [T, C] simulated measured feedback delay (s).
+    plus the rig (built if not supplied).
+    """
+    rng = np.random.default_rng(cfg.seed)
+    if rig is None:
+        rig = cameras_lib.hall_rig(cfg.num_cameras)
+    P_mat = np.asarray(rig.P, np.float64)
+    K = np.asarray(rig.K, np.float64)
+    size = np.asarray(rig.image_size, np.float64)
+    t, c, p = cfg.num_frames, cfg.num_cameras, cfg.num_people
+
+    traj = _person_trajectories(cfg, rng)
+    scale = rng.uniform(0.9, 1.1, size=p)
+    phase = rng.uniform(0, 2 * np.pi, size=p)
+
+    gt = np.zeros((t, p, 17, 3))
+    times = np.arange(t) / cfg.frame_rate
+    for ti in range(t):
+        # Light arm/leg swing animation so joints move relative to the root.
+        swing = 0.08 * np.sin(2 * np.pi * 1.5 * times[ti] + phase)
+        for pi in range(p):
+            pose = _COCO_POSE * scale[pi]
+            pose = pose.copy()
+            pose[[7, 9], 1] += swing[pi]    # left arm
+            pose[[8, 10], 1] -= swing[pi]   # right arm
+            pose[[13, 15], 1] -= 0.5 * swing[pi]
+            pose[[14, 16], 1] += 0.5 * swing[pi]
+            root = np.array(
+                [traj[ti, pi, 0], traj[ti, pi, 1], _HIP_HEIGHT * scale[pi]]
+            )
+            gt[ti, pi] = root + pose
+
+    kp2d = np.zeros((t, c, p, 17, 3), np.float32)
+    cov2d = np.zeros((t, c, p, 17, 3), np.float32)
+    det_valid = np.zeros((t, c, p), bool)
+    det_score = np.zeros((t, c, p), np.float32)
+
+    # Project everything at once: [T, C, P, 17]
+    gt_h = np.concatenate([gt, np.ones((t, p, 17, 1))], axis=-1)
+    cam_pts = np.einsum("cij,tpkj->tcpki", P_mat, gt_h)
+    z = cam_pts[..., 2]
+    in_front = z > 0.1
+    with np.errstate(all="ignore"):
+        px = K[None, :, None, None, 0] * cam_pts[..., 0] / z + K[
+            None, :, None, None, 2
+        ]
+        py = K[None, :, None, None, 1] * cam_pts[..., 1] / z + K[
+            None, :, None, None, 3
+        ]
+    in_img = (
+        in_front
+        & (px >= 0)
+        & (px < size[None, :, None, None, 0])
+        & (py >= 0)
+        & (py < size[None, :, None, None, 1])
+    )
+
+    noise = rng.normal(0, cfg.pixel_noise, size=(t, c, p, 17, 2))
+    conf = rng.uniform(*cfg.conf_range, size=(t, c, p, 17)).astype(np.float32)
+    kp_drop = rng.uniform(size=(t, c, p, 17)) < cfg.keypoint_dropout
+    det_drop = rng.uniform(size=(t, c, p)) < cfg.detection_dropout
+
+    visible = in_img & ~kp_drop & ~det_drop[..., None]
+    kp2d[..., 0] = np.where(visible, px + noise[..., 0], 0.0)
+    kp2d[..., 1] = np.where(visible, py + noise[..., 1], 0.0)
+    kp2d[..., 2] = np.where(visible, conf, 0.0)
+
+    sigma = cfg.pixel_noise if cfg.pixel_noise > 0 else 1.0
+    cov2d[..., 0] = np.where(visible, sigma**2, 0.0)
+    cov2d[..., 2] = np.where(visible, sigma**2, 0.0)
+
+    det_valid[:] = np.sum(visible, axis=-1) > 0
+    # Person score: mean confidence of visible joints.
+    with np.errstate(invalid="ignore"):
+        mean_conf = np.sum(np.where(visible, conf, 0.0), axis=-1) / np.maximum(
+            np.sum(visible, axis=-1), 1
+        )
+    det_score[:] = np.where(det_valid, mean_conf, 0.0).astype(np.float32)
+
+    if cfg.shuffle_detections:
+        for ti in range(t):
+            for ci in range(c):
+                perm = rng.permutation(p)
+                kp2d[ti, ci] = kp2d[ti, ci, perm]
+                cov2d[ti, ci] = cov2d[ti, ci, perm]
+                det_valid[ti, ci] = det_valid[ti, ci, perm]
+                det_score[ti, ci] = det_score[ti, ci, perm]
+
+    nominal = times[:, None] + np.zeros((t, c))
+    cam_stamp = nominal + rng.normal(0, cfg.stamp_jitter, size=(t, c))
+    fb_delay = np.full((t, c), 0.1, np.float32) + rng.normal(
+        0, 0.01, size=(t, c)
+    ).astype(np.float32)
+
+    return {
+        "gt_xyz": gt,
+        "kp2d": kp2d,
+        "cov2d": cov2d,
+        "det_valid": det_valid,
+        "det_score": det_score,
+        "cam_stamp": cam_stamp,
+        "fb_delay": fb_delay,
+        "rig": rig,
+        "config": cfg,
+    }
+
+
+def frames_from_scene(scene, dtype=np.float32):
+    """Pack a generated scene into per-frame Frame pytree fields (NumPy).
+
+    Returns dict of arrays with a leading time axis matching types.Frame
+    field order; feed scene["rig"] alongside.
+    """
+    return {
+        "kp2d": scene["kp2d"].astype(dtype),
+        "cov2d": scene["cov2d"].astype(dtype),
+        "det_score": scene["det_score"].astype(dtype),
+        "det_valid": scene["det_valid"],
+        "cam_stamp": scene["cam_stamp"],
+        "fb_delay": scene["fb_delay"].astype(dtype),
+    }
