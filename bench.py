@@ -1,0 +1,100 @@
+"""Benchmark: fused 3D skeleton frames/sec on the 16-cam x 6-person demo.
+
+Replays a synthetic hall sequence (the reference's poses2D_16cam.bag
+equivalent, io.synthetic) through the full pipeline — association,
+triangulation + UT covariance, LM smoothing, tracking/prediction, per-camera
+reprojection feedback — as one compiled lax.scan on the available device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": fps/500}
+vs_baseline is the ratio to the 500 fps single-chip north-star target
+(BASELINE.md). Additional context fields (p50 step latency, device) ride
+along in the same line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from smartedgesensor3dhumanpose_tpu import pipeline as pl
+    from smartedgesensor3dhumanpose_tpu.config import (
+        FusionConfig,
+        PipelineConfig,
+        TrackerConfig,
+    )
+    from smartedgesensor3dhumanpose_tpu.io import synthetic
+    from smartedgesensor3dhumanpose_tpu.types import Frame
+
+    num_frames = 256
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=16, num_people=6, num_frames=num_frames, seed=42
+        )
+    )
+    config = PipelineConfig(
+        fusion=FusionConfig(
+            num_cameras=16,
+            max_dets_per_cam=6,
+            max_hypotheses=12,
+            max_epipolar_error=0.045,
+        ),
+        tracker=TrackerConfig(max_tracks=12),
+    )
+    data = synthetic.frames_from_scene(scene)
+    frames = Frame(
+        kp2d=jnp.asarray(data["kp2d"]),
+        cov2d=jnp.asarray(data["cov2d"]),
+        det_score=jnp.asarray(data["det_score"]),
+        det_valid=jnp.asarray(data["det_valid"]),
+        cam_stamp=jnp.asarray(data["cam_stamp"], jnp.float32),
+        fb_delay=jnp.asarray(data["fb_delay"]),
+    )
+
+    pipe = pl.Pipeline(scene["rig"], config)
+    state = pipe.init_state()
+
+    # ---- offline throughput (compile + 1 warm run, then timed runs)
+    final_state, outs = pipe.run_offline(state, frames)
+    jax.block_until_ready(outs)
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        _, outs = pipe.run_offline(state, frames)
+        jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / n_rep
+    fps = num_frames / dt
+
+    # ---- online p50 step latency
+    frame0 = jax.tree.map(lambda a: a[0], frames)
+    st, out = pipe.step(state, frame0)
+    jax.block_until_ready(out)
+    lat = []
+    for i in range(30):
+        fr = jax.tree.map(lambda a: a[i % num_frames], frames)
+        t0 = time.perf_counter()
+        st, out = pipe.step(st, fr)
+        jax.block_until_ready(out)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    result = {
+        "metric": "fused_3d_skeleton_fps_16cam_6people",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 4),
+        "p50_step_latency_ms": round(p50_ms, 3),
+        "device": str(jax.devices()[0]),
+        "num_frames": num_frames,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Multi-chip sharding of the pipeline over a jax.sharding.Mesh.
+
+The reference scales by running more ROS nodes/threads on one machine; the
+TPU-native scale-out instead exploits the pipeline's structure:
+
+* The fusion stage (association + triangulation) is *stateless per frame* —
+  frames are data-parallel. The `data` mesh axis shards the time/batch axis
+  of a replayed sequence (or, online, a batch of in-flight frames from
+  independent capture volumes).
+* Within a frame, the hypothesis/person axis carries the triangulation
+  FLOPs (people x joints x sigma-points DLT solves) — the `model` mesh axis
+  shards it via sharding constraints, and XLA inserts the (small)
+  all-gathers where the association scan or the merge pass needs the full
+  hypothesis set.
+* The temporal stages (tracking + prior LM) are sequential across frames by
+  construction (a `lax.scan` with a small carry) and run replicated — they
+  are a negligible fraction of per-frame compute.
+
+Everything uses GSPMD (`jax.jit` with NamedSharding + sharding constraints)
+rather than hand-written collectives; collectives ride ICI automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smartedgesensor3dhumanpose_tpu import fusion, pipeline, reprojection, tracking
+from smartedgesensor3dhumanpose_tpu.config import PipelineConfig
+from smartedgesensor3dhumanpose_tpu.types import CameraRig, Frame, TrackerState
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """A (data, model) mesh over the first n_devices devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"data*model ({data}*{model}) != n_devices ({n})")
+    dev = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(dev, ("data", "model"))
+
+
+def _constrain(tree, mesh: Mesh, spec: P):
+    sharding = NamedSharding(mesh, spec)
+
+    def one(a):
+        if a.ndim == 0:
+            return a
+        # Pad the spec with replication for trailing axes.
+        full = P(*(list(spec) + [None] * (a.ndim - len(spec))))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, full))
+
+    return jax.tree.map(one, tree)
+
+
+def run_offline_sharded(
+    rig: CameraRig,
+    config: PipelineConfig,
+    mesh: Mesh,
+    frames: Frame,
+    state: TrackerState,
+):
+    """Whole-sequence pipeline with frame-parallel fusion over the mesh.
+
+    Args:
+      frames: Frame pytree with a leading time axis on every field.
+      state: initial TrackerState (replicated).
+
+    Returns:
+      (final_state, StepOutput with leading time axis) — the same results as
+      pipeline.Pipeline.run_offline, computed with the fusion stage sharded
+      over the `data` axis and the hypothesis axis constrained to `model`.
+    """
+    frame_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def program(frames: Frame, state: TrackerState):
+        # ---- stage 1: data-parallel fusion over the time axis.
+        def fuse_one(frame):
+            frame, pivot = pipeline.mask_stale_cameras(
+                frame, config.fusion.max_sync_diff
+            )
+            return fusion.fuse_frame(frame, rig, config.fusion), pivot
+
+        persons, pivots = jax.vmap(fuse_one)(frames)
+        # Shard frames over `data` and the person axis over `model`.
+        persons = _constrain(persons, mesh, P("data", "model"))
+
+        # ---- stage 2: sequential tracking scan (small, replicated).
+        persons = _constrain(persons, mesh, P())
+
+        def track_body(carry, xs):
+            person_t, pivot_t, fb_t = xs
+            carry, out = tracking.step(
+                carry,
+                person_t,
+                pivot_t.astype(person_t.xyz.dtype),
+                fb_t,
+                config.prior,
+                config.tracker,
+            )
+            return carry, out
+
+        state_out, track_outs = jax.lax.scan(
+            track_body, state, (persons, pivots, frames.fb_delay)
+        )
+
+        # ---- stage 3: data-parallel reprojection feedback.
+        pred = _constrain(track_outs.fused_pred, mesh, P("data", "model"))
+
+        def reproj_one(pred_t, delta_t):
+            return reprojection.reproject(
+                pred_t,
+                rig,
+                config.prior.pose_method,
+                delta_t,
+                ut_kappa=config.fusion.ut_kappa,
+            )
+
+        feedback = jax.vmap(reproj_one)(pred, track_outs.pred_delta_t)
+
+        return state_out, pipeline.StepOutput(
+            persons_raw=persons,
+            fused=track_outs.fused,
+            fused_pred=track_outs.fused_pred,
+            feedback=feedback,
+            pred_delta_t=track_outs.pred_delta_t,
+            pivot_stamp=pivots,
+        )
+
+    fn = jax.jit(
+        program,
+        in_shardings=(
+            jax.tree.map(lambda _: frame_sharding, frames),
+            jax.tree.map(lambda _: rep, state),
+        ),
+    )
+    return fn(frames, state)

@@ -1,0 +1,135 @@
+"""The full closed-loop pipeline as one jitted per-frame program.
+
+Replaces the reference's three-process ROS graph (skeleton_3d -> pose_prior ->
+pose_reprojection connected by topics, pose_triangulate_demo.launch:11-29)
+with a single pure function
+
+    step(tracker_state, frame) -> (tracker_state, StepOutput)
+
+containing fusion (association + triangulation), prior smoothing + tracking +
+prediction, and per-camera reprojection feedback — all stages fuse into one
+XLA program per frame, with buffer reuse handled by the compiler instead of
+pub/sub queues. Offline replay runs the whole sequence in a single
+`lax.scan` for maximum throughput; online use calls the jitted `step`
+per frame.
+
+Per-frame camera staleness masking (cameras more than max_sync_diff behind
+the pivot stamp are dropped for the frame, reference
+skeleton_3d_triang_mult_node.cpp:1049-1057) happens on-device at the top of
+the step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from smartedgesensor3dhumanpose_tpu import fusion, reprojection, tracking
+from smartedgesensor3dhumanpose_tpu.config import PipelineConfig
+from smartedgesensor3dhumanpose_tpu.types import (
+    CameraRig,
+    Frame,
+    Persons3D,
+    Reprojection2D,
+    TrackerState,
+)
+
+
+class StepOutput(NamedTuple):
+    persons_raw: Persons3D     # persons_3d (triangulation output)
+    fused: Persons3D           # persons3d_fused
+    fused_pred: Persons3D      # persons3d_fused_pred
+    feedback: Reprojection2D   # cam_*/skel_pred
+    pred_delta_t: jnp.ndarray  # predicted feedback latency
+    pivot_stamp: jnp.ndarray   # frame timestamp (newest camera)
+
+
+def mask_stale_cameras(frame: Frame, max_sync_diff: float) -> Tuple[Frame, jnp.ndarray]:
+    """Drop cameras lagging the pivot (newest) stamp (:1029-1057)."""
+    pivot = jnp.max(frame.cam_stamp)
+    fresh = (pivot - frame.cam_stamp) <= max_sync_diff
+    return (
+        frame._replace(det_valid=frame.det_valid & fresh[:, None]),
+        pivot,
+    )
+
+
+def step(
+    state: TrackerState,
+    frame: Frame,
+    rig: CameraRig,
+    config: PipelineConfig,
+) -> Tuple[TrackerState, StepOutput]:
+    """One full pipeline frame (pure; jit with static config/rig closure)."""
+    frame, pivot = mask_stale_cameras(frame, config.fusion.max_sync_diff)
+
+    persons_raw = fusion.fuse_frame(frame, rig, config.fusion)
+
+    state, track_out = tracking.step(
+        state,
+        persons_raw,
+        pivot.astype(persons_raw.xyz.dtype),
+        frame.fb_delay,
+        config.prior,
+        config.tracker,
+    )
+
+    feedback = reprojection.reproject(
+        track_out.fused_pred,
+        rig,
+        config.prior.pose_method,
+        track_out.pred_delta_t,
+        ut_kappa=config.fusion.ut_kappa,
+    )
+
+    return state, StepOutput(
+        persons_raw=persons_raw,
+        fused=track_out.fused,
+        fused_pred=track_out.fused_pred,
+        feedback=feedback,
+        pred_delta_t=track_out.pred_delta_t,
+        pivot_stamp=pivot,
+    )
+
+
+class Pipeline:
+    """Convenience wrapper owning the rig + config with jit-compiled entry
+    points.
+
+    `step` is the online path (one frame in, outputs + carried state out);
+    `run_offline` scans a whole pre-loaded sequence on device for maximum
+    throughput (the bag-replay benchmarking mode).
+    """
+
+    def __init__(self, rig: CameraRig, config: PipelineConfig):
+        self.rig = rig
+        self.config = config
+        self._step = jax.jit(
+            functools.partial(step, rig=rig, config=config)
+        )
+        self._scan = jax.jit(self._scan_impl)
+
+    def init_state(self, dtype=jnp.float32) -> TrackerState:
+        t = self.config.tracker
+        return TrackerState.initial(
+            t.max_tracks, t.n_mov_avg, t.avg_delay, dtype=dtype
+        )
+
+    def step(self, state: TrackerState, frame: Frame):
+        return self._step(state, frame)
+
+    def _scan_impl(self, state: TrackerState, frames: Frame):
+        def body(carry, frame):
+            carry, out = step(carry, frame, self.rig, self.config)
+            return carry, out
+
+        return jax.lax.scan(body, state, frames)
+
+    def run_offline(self, state: TrackerState, frames: Frame):
+        """Process a stacked sequence (leading time axis on every Frame
+        field) in one compiled scan. Returns (final_state, StepOutput with a
+        leading time axis)."""
+        return self._scan(state, frames)

@@ -1,0 +1,304 @@
+"""Track management, smoothing, and velocity prediction.
+
+The stateful half of the reference's pose_prior node
+(pose_prior_mult_node.cpp skeletonCallback, :505-921): feedback-delay moving
+average, velocity-sigma-normalized track association with Hungarian gating,
+per-person LM smoothing (prior.py) warm-started from the track, velocity ring
+buffers and latency-compensating prediction, track lifecycle (spawn / decay /
+merge) and the publish gate.
+
+All state lives in a fixed-slot TrackerState pytree carried through
+`step`, which is a single pure jittable function — the reference's
+mutable globals + OpenMP critical sections disappear.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import prior, skeleton
+from smartedgesensor3dhumanpose_tpu.config import PriorConfig, TrackerConfig
+from smartedgesensor3dhumanpose_tpu.ops import hungarian
+from smartedgesensor3dhumanpose_tpu.types import Persons3D, TrackerState
+
+_K = skeleton.NUM_FUSION_JOINTS
+_COST_CLIP = 1.0e3
+
+
+class TrackStepOutput(NamedTuple):
+    fused: Persons3D        # persons3d_fused equivalent
+    fused_pred: Persons3D   # persons3d_fused_pred equivalent
+    pred_delta_t: jnp.ndarray  # [] predicted feedback latency
+
+
+def _association_cost(
+    state: TrackerState,
+    persons: Persons3D,
+    t: jnp.ndarray,
+    cfg: TrackerConfig,
+    prior_cfg: PriorConfig,
+) -> jnp.ndarray:
+    """Detection x track cost: mean joint distance normalized by per-joint
+    velocity sigma x elapsed time (calc_normed_dist, :84-101)."""
+    dtype = persons.xyz.dtype
+    vel_sig = jnp.asarray(skeleton.FUSION_VEL_SIGMAS, dtype)
+    delta_t = (t - state.t_prev)[None, :, None]  # [1, T, 1]
+    prev = (
+        state.estimate * state.height_prev[:, None, None]
+        + state.root_prev[:, None, :]
+    )  # [T, K, 3]
+    diff = persons.xyz[:, None] - prev[None]  # [P, T, K, 3]
+    dist = jnp.linalg.norm(diff, axis=-1) / (vel_sig[None, None] * delta_t)
+    ok = (
+        (persons.score > prior_cfg.min_score)[:, None, :]
+        & state.est_exists[None]
+    )  # [P, T, K]
+    n = jnp.sum(ok, axis=-1)
+    mean = jnp.sum(jnp.where(ok, dist, 0.0), axis=-1) / jnp.maximum(n, 1)
+    cost = jnp.where(n > 0, mean, cfg.max_dist)
+    cost = jnp.where(
+        persons.valid[:, None] & state.alive[None], cost, cfg.max_dist
+    )
+    return cost
+
+
+def step(
+    state: TrackerState,
+    persons: Persons3D,
+    t: jnp.ndarray,
+    fb_delay: jnp.ndarray,
+    prior_cfg: PriorConfig,
+    cfg: TrackerConfig,
+) -> Tuple[TrackerState, TrackStepOutput]:
+    """One tracker frame. `persons` is the fusion stage output; `t` the
+    frame (pivot) timestamp; `fb_delay` [C] the per-camera measured feedback
+    delays (-1 where unmeasured)."""
+    dtype = persons.xyz.dtype
+    p = persons.xyz.shape[0]
+    t_slots = state.alive.shape[0]
+    w = state.fb_delay_buffer.shape[0]
+    t = jnp.asarray(t, dtype)
+
+    # ---- feedback-delay moving average -> prediction horizon (:513-526)
+    valid_delay = fb_delay > 0
+    n_valid = jnp.sum(valid_delay)
+    curr_avg = jnp.where(
+        n_valid > 0,
+        jnp.sum(jnp.where(valid_delay, fb_delay, 0.0)) / jnp.maximum(n_valid, 1),
+        cfg.avg_delay,
+    ).astype(dtype)
+    fb_buffer = state.fb_delay_buffer.at[state.frame_nr % w].set(curr_avg)
+    pred_delta_t = jnp.mean(fb_buffer)
+
+    has_dets = jnp.any(persons.valid)
+
+    # ---- association (:548-580)
+    cost = _association_cost(state, persons, t, cfg, prior_cfg)
+    assignment = hungarian.linear_sum_assignment(
+        jnp.minimum(cost, _COST_CLIP)
+    )  # [P] -> track slot or -1
+    track_of = jnp.where(assignment >= 0, assignment, 0)
+    gated = (
+        (assignment >= 0)
+        & (cost[jnp.arange(p), track_of] <= cfg.dist_threshold)
+        & state.alive[track_of]
+    )
+    matched = persons.valid & gated
+
+    # New tracks for unmatched valid persons, in person order (:570-580).
+    spawn = persons.valid & ~matched
+    free_slots = jnp.nonzero(
+        ~state.alive, size=t_slots, fill_value=t_slots
+    )[0]
+    rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
+    slot_new = jnp.where(
+        spawn & (rank < jnp.sum(~state.alive)),
+        free_slots[jnp.clip(rank, 0, t_slots - 1)],
+        t_slots,  # overflow -> dropped
+    )
+    new_ok = spawn & (slot_new < t_slots)
+    track_idx = jnp.where(matched, track_of, jnp.where(new_ok, slot_new, t_slots))
+    has_track = matched | new_ok
+
+    # Initialize spawned slots.
+    new_ids = state.next_id + rank
+    alive = state.alive.at[slot_new].set(new_ok, mode="drop")
+    track_id = state.track_id.at[slot_new].set(
+        jnp.where(new_ok, new_ids, -1), mode="drop"
+    )
+    est = state.estimate.at[slot_new].set(0.0, mode="drop")
+    est_exists = state.est_exists.at[slot_new].set(False, mode="drop")
+    vel_buf = state.vel_buffer.at[slot_new].set(0.0, mode="drop")
+    t_prev = state.t_prev.at[slot_new].set(t, mode="drop")
+    num_obs = state.num_obs.at[slot_new].set(0, mode="drop")
+    height_prev = state.height_prev.at[slot_new].set(-1.0, mode="drop")
+    root_prev = state.root_prev.at[slot_new].set(0.0, mode="drop")
+    next_id = (state.next_id + jnp.sum(new_ok.astype(jnp.int32))).astype(
+        jnp.int32
+    )
+
+    # ---- per-person graph + LM smoothing (prior.py)
+    g_in = prior.build_graph_inputs(persons, prior_cfg)
+    participates = has_track & (g_in.num_meas > 0)  # (:739-741)
+
+    # Gather per-person previous track state (garbage where no track; masked).
+    safe_idx = jnp.where(has_track, track_idx, 0)
+    prev_est_p = est[safe_idx]
+    prev_exists_p = est_exists[safe_idx] & has_track[:, None]
+    h_prev_p = height_prev[safe_idx]
+    root_prev_p = root_prev[safe_idx]
+    # height_prev < 0 -> initialize from current (:699-702).
+    uninit = h_prev_p < 0
+    h_prev_p = jnp.where(uninit, g_in.height, h_prev_p)
+    root_prev_p = jnp.where(uninit[:, None], g_in.root_xyz, root_prev_p)
+
+    use_velocity = g_in.active & prev_exists_p  # (:500)
+    warm = jnp.where(use_velocity[..., None], prev_est_p, g_in.meas)
+
+    result = prior.optimize(g_in, warm, prior_cfg)
+    xyz_out, cov_out = prior.denormalize(result, g_in, prior_cfg)
+    xyz_out = jnp.where(g_in.active[..., None], xyz_out, 0.0)
+    cov_out = jnp.where(g_in.active[..., None, None], cov_out, 0.0)
+
+    # ---- velocity buffers + prediction (:818-831)
+    dt_glob = jnp.maximum(t - state.t_prev_global, 1e-6)
+    curr_world = result.x * g_in.height[:, None, None] + g_in.root_xyz[:, None]
+    prev_world = prev_est_p * h_prev_p[:, None, None] + root_prev_p[:, None]
+    vel = (curr_world - prev_world) / dt_glob  # [P, K, 3]
+
+    vel_buf_p = vel_buf[safe_idx]  # [P, K, W, 3]
+    # Joints dropped from the estimate reset their buffer (:490-493).
+    removed = prev_exists_p & ~g_in.active
+    vel_buf_p = jnp.where(removed[..., None, None], 0.0, vel_buf_p)
+    slot_w = state.frame_nr % w
+    vel_buf_p = vel_buf_p.at[:, :, slot_w].set(
+        jnp.where(use_velocity[..., None], vel, vel_buf_p[:, :, slot_w])
+    )
+    mean_vel = jnp.mean(vel_buf_p, axis=2)  # [P, K, 3]
+    pred_offset = jnp.where(
+        use_velocity[..., None], mean_vel * pred_delta_t, 0.0
+    )
+    xyz_pred = xyz_out + pred_offset
+    pred_noise = cfg.pred_noise_sigma**2 * jnp.eye(3, dtype=dtype)
+    cov_pred = jnp.where(
+        g_in.active[..., None, None], cov_out + pred_noise, 0.0
+    )
+
+    # ---- write back track state (:839-843)
+    upd = participates & has_dets
+    scatter_idx = jnp.where(upd, track_idx, t_slots)
+    est = est.at[scatter_idx].set(result.x, mode="drop")
+    est_exists = est_exists.at[scatter_idx].set(g_in.active, mode="drop")
+    vel_buf = vel_buf.at[scatter_idx].set(vel_buf_p, mode="drop")
+    t_prev = t_prev.at[scatter_idx].set(t, mode="drop")
+    height_prev = height_prev.at[scatter_idx].set(g_in.height, mode="drop")
+    root_prev = root_prev.at[scatter_idx].set(g_in.root_xyz, mode="drop")
+    num_obs = num_obs.at[scatter_idx].add(
+        jnp.where(upd, 1, 0).astype(jnp.int32), mode="drop"
+    )
+
+    # Publish gate (:845-848): strictly more than min_num_obs observations
+    # (count includes this frame's).
+    obs_after = num_obs[jnp.where(has_track, track_idx, 0)]
+    publish = upd & (obs_after > cfg.min_num_obs)
+    person_ids = jnp.where(
+        has_track, track_id[jnp.where(has_track, track_idx, 0)], -1
+    )
+
+    fused = Persons3D(
+        xyz=xyz_out,
+        score=g_in.score_out,
+        cov=cov_out,
+        valid=publish,
+        person_id=person_ids,
+    )
+    fused_pred = Persons3D(
+        xyz=xyz_pred,
+        score=g_in.score_out,
+        cov=cov_pred,
+        valid=publish,
+        person_id=person_ids,
+    )
+
+    # ---- track decay (:191-211, called in both paths)
+    alive = alive & ((t - t_prev) <= cfg.max_unobserved_time)
+
+    # ---- merge overlapping tracks (:869-903): sequential pairwise
+    # removal; skipped on detection-free frames (the reference early-outs
+    # before the merge loop, :537-546).
+    alive, fused, fused_pred = _merge_tracks(
+        alive, track_id, est, est_exists, height_prev, root_prev,
+        fused, fused_pred, has_dets, cfg,
+    )
+
+    new_state = TrackerState(
+        alive=alive,
+        track_id=track_id,
+        estimate=est,
+        est_exists=est_exists,
+        vel_buffer=vel_buf,
+        t_prev=t_prev,
+        num_obs=num_obs,
+        height_prev=height_prev,
+        root_prev=root_prev,
+        next_id=next_id,
+        frame_nr=state.frame_nr + jnp.where(has_dets, 1, 0).astype(jnp.int32),
+        fb_delay_buffer=fb_buffer,
+        t_prev_global=t,
+    )
+    return new_state, TrackStepOutput(
+        fused=fused, fused_pred=fused_pred, pred_delta_t=pred_delta_t
+    )
+
+
+def _merge_tracks(
+    alive, track_id, est, est_exists, height_prev, root_prev,
+    fused: Persons3D, fused_pred: Persons3D, has_dets, cfg: TrackerConfig,
+):
+    """Remove tracks overlapping an earlier one (mean common-joint distance
+    below threshold, calc_3d_dist :103-119); published persons of the removed
+    track inherit the keeper's id (:892-898)."""
+    t_slots = alive.shape[0]
+    if t_slots < 2:
+        return alive, fused, fused_pred
+    pairs = np.array(
+        [(i, j) for i in range(t_slots) for j in range(i + 1, t_slots)],
+        dtype=np.int32,
+    )
+    pair_i = jnp.asarray(pairs[:, 0])
+    pair_j = jnp.asarray(pairs[:, 1])
+
+    world = est * height_prev[:, None, None] + root_prev[:, None, :]
+
+    def body(idx, carry):
+        alive, fid, pid = carry
+        i = pair_i[idx]
+        j = pair_j[idx]
+        both = alive[i] & alive[j]
+        ok = est_exists[i] & est_exists[j]
+        d = jnp.linalg.norm(world[i] - world[j], axis=-1)
+        n = jnp.sum(ok)
+        mean_d = jnp.sum(jnp.where(ok, d, 0.0)) / jnp.maximum(n, 1)
+        merge = both & has_dets & (n > 0) & (mean_d < cfg.merge_dist_thresh)
+        alive = alive.at[j].set(jnp.where(merge, False, alive[j]))
+        removed_id = track_id[j]
+        keeper_id = track_id[i]
+        fid = jnp.where(merge & (fid == removed_id), keeper_id, fid)
+        pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
+        return alive, fid, pid
+
+    alive, fid, pid = jax.lax.fori_loop(
+        0,
+        pairs.shape[0],
+        body,
+        (alive, fused.person_id, fused_pred.person_id),
+    )
+    return (
+        alive,
+        fused._replace(person_id=fid),
+        fused_pred._replace(person_id=pid),
+    )

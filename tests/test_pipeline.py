@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import cameras, pipeline, reprojection, skeleton
+from smartedgesensor3dhumanpose_tpu.config import (
+    FusionConfig,
+    PipelineConfig,
+    PriorConfig,
+    TrackerConfig,
+)
+from smartedgesensor3dhumanpose_tpu.io import synthetic
+from smartedgesensor3dhumanpose_tpu.types import Frame, Persons3D
+from test_fusion import match_to_gt
+
+
+def scene_frames(scene, dtype=jnp.float64):
+    data = synthetic.frames_from_scene(scene)
+    return Frame(
+        kp2d=jnp.asarray(data["kp2d"], dtype),
+        cov2d=jnp.asarray(data["cov2d"], dtype),
+        det_score=jnp.asarray(data["det_score"], dtype),
+        det_valid=jnp.asarray(data["det_valid"]),
+        cam_stamp=jnp.asarray(data["cam_stamp"], dtype),
+        fb_delay=jnp.asarray(data["fb_delay"], dtype),
+    )
+
+
+def small_config(num_cameras=12, people=4):
+    return PipelineConfig(
+        fusion=FusionConfig(
+            num_cameras=num_cameras,
+            max_dets_per_cam=people,
+            max_hypotheses=2 * people,
+        ),
+        tracker=TrackerConfig(max_tracks=2 * people),
+    )
+
+
+def test_offline_scan_end_to_end():
+    n_frames, people, cams = 20, 4, 12
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=cams,
+            num_people=people,
+            num_frames=n_frames,
+            pixel_noise=1.0,
+            seed=21,
+        )
+    )
+    cfg = small_config(cams, people)
+    pipe = pipeline.Pipeline(scene["rig"], cfg)
+    frames = scene_frames(scene)
+    state = pipe.init_state(dtype=jnp.float64)
+    final_state, outs = pipe.run_offline(state, frames)
+
+    to_fusion = np.asarray(skeleton.SIMPLE_MODEL.to_fusion)
+    # After the publish gate (10 observations), fused output tracks GT.
+    for t in range(12, n_frames):
+        valid = np.asarray(outs.fused.valid[t])
+        assert valid.sum() == people, f"frame {t}: {valid.sum()}"
+        errs, _ = match_to_gt(
+            np.asarray(outs.fused.xyz[t]),
+            np.asarray(outs.fused.score[t]),
+            valid,
+            scene["gt_xyz"][t],
+            to_fusion,
+        )
+        assert np.isfinite(errs).all() and errs.max() < 0.06, (
+            f"frame {t}: {errs}"
+        )
+        # Track ids are stable and in the initial spawn range.
+        ids = np.asarray(outs.fused.person_id[t])[valid]
+        assert set(ids.tolist()) <= set(range(people))
+
+    # Feedback goes out for every camera that sees a published person.
+    fb_valid = np.asarray(outs.feedback.valid[-1])  # [C, P]
+    assert fb_valid.any()
+    # Online step agrees with scan (same program, same state threading).
+    state2 = pipe.init_state(dtype=jnp.float64)
+    frame0 = jax.tree.map(lambda a: a[0], frames)
+    state2, out0 = pipe.step(state2, frame0)
+    np.testing.assert_allclose(
+        np.asarray(out0.persons_raw.xyz),
+        np.asarray(outs.persons_raw.xyz[0]),
+        atol=1e-9,
+    )
+
+
+def test_stale_camera_masking():
+    cams = 4
+    stamps = jnp.asarray([1.0, 1.0, 0.9, 0.995])
+    frame = Frame(
+        kp2d=jnp.zeros((cams, 2, 17, 3)),
+        cov2d=jnp.zeros((cams, 2, 17, 3)),
+        det_score=jnp.zeros((cams, 2)),
+        det_valid=jnp.ones((cams, 2), bool),
+        cam_stamp=stamps,
+        fb_delay=jnp.full((cams,), 0.1),
+    )
+    masked, pivot = pipeline.mask_stale_cameras(frame, 0.067)
+    assert float(pivot) == 1.0
+    dv = np.asarray(masked.det_valid)
+    assert dv[0].all() and dv[1].all() and dv[3].all()
+    assert not dv[2].any()  # 100 ms behind pivot -> dropped
+
+
+def test_reprojection_roundtrip(rng):
+    """Feedback keypoints must land on the projections of the 3D joints."""
+    rig = cameras.hall_rig(8, dtype=jnp.float64)
+    k = skeleton.NUM_FUSION_JOINTS
+    from test_prior import make_person
+
+    xyz, score, cov = make_person(rng, noise=0.0)
+    persons = Persons3D(
+        xyz=jnp.asarray(xyz)[None],
+        score=jnp.asarray(score)[None],
+        cov=jnp.asarray(cov)[None],
+        valid=jnp.ones((1,), bool),
+        person_id=jnp.zeros((1,), jnp.int32),
+    )
+    out = reprojection.reproject(persons, rig, "simple", jnp.float64(0.1))
+    to_fusion = np.asarray(skeleton.SIMPLE_MODEL.to_fusion)
+    P = np.asarray(rig.P)
+    K = np.asarray(rig.K)
+    kp = np.asarray(out.kp2d)
+    kv = np.asarray(out.kp_valid)
+    checked = 0
+    for c in range(8):
+        for j in range(17):
+            fj = to_fusion[j]
+            if score[fj] <= 0:
+                assert not kv[c, 0, j]
+                continue
+            cam = P[c] @ np.append(xyz[fj], 1.0)
+            px = np.array(
+                [
+                    K[c, 0] * cam[0] / cam[2] + K[c, 2],
+                    K[c, 1] * cam[1] / cam[2] + K[c, 3],
+                ]
+            )
+            inside = (0 <= px[0] <= 640) and (0 <= px[1] <= 480) and cam[2] > 0
+            if kv[c, 0, j]:
+                checked += 1
+                # UT mean of a (nearly) linear projection ~ projection of mean
+                # (small covariances here).
+                np.testing.assert_allclose(kp[c, 0, j, :2], px, atol=0.5)
+                assert kp[c, 0, j, 2] == score[fj]
+    assert checked > 50
+    # Bboxes contain all their valid keypoints.
+    bbox = np.asarray(out.bbox)
+    for c in range(8):
+        if not np.asarray(out.valid)[c, 0]:
+            continue
+        pts = kp[c, 0][kv[c, 0]][:, :2]
+        assert (pts[:, 0] >= bbox[c, 0, 0] - 1e-6).all()
+        assert (pts[:, 0] <= bbox[c, 0, 2] + 1e-6).all()
+        assert (pts[:, 1] >= bbox[c, 0, 1] - 1e-6).all()
+        assert (pts[:, 1] <= bbox[c, 0, 3] + 1e-6).all()
+
+
+def test_closed_loop_feedback_latency():
+    """fb_delay carried on the feedback equals the prediction horizon."""
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=8, num_people=2, num_frames=2, seed=31
+        )
+    )
+    cfg = small_config(8, 2)
+    pipe = pipeline.Pipeline(scene["rig"], cfg)
+    frames = scene_frames(scene)
+    state = pipe.init_state(dtype=jnp.float64)
+    _, out = pipe.step(state, jax.tree.map(lambda a: a[0], frames))
+    np.testing.assert_allclose(
+        np.asarray(out.feedback.fb_delay),
+        float(out.pred_delta_t),
+        rtol=1e-6,
+    )

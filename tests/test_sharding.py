@@ -1,0 +1,71 @@
+"""Multi-chip sharding equivalence on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import pipeline
+from smartedgesensor3dhumanpose_tpu.io import synthetic
+from smartedgesensor3dhumanpose_tpu.parallel import sharding
+from test_pipeline import scene_frames, small_config
+
+
+def _setup(n_frames=8, cams=8, people=2):
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=cams,
+            num_people=people,
+            num_frames=n_frames,
+            pixel_noise=1.0,
+            seed=17,
+        )
+    )
+    cfg = small_config(cams, people)
+    frames = scene_frames(scene, dtype=jnp.float64)
+    return scene, cfg, frames
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must force an 8-device CPU mesh"
+    mesh = sharding.make_mesh(8, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = sharding.make_mesh(8)
+    assert mesh1.shape == {"data": 8, "model": 1}
+
+
+def test_sharded_matches_single_device():
+    scene, cfg, frames = _setup()
+    pipe = pipeline.Pipeline(scene["rig"], cfg)
+    state = pipe.init_state(dtype=jnp.float64)
+    _, want = pipe.run_offline(state, frames)
+
+    for model in (1, 2):
+        mesh = sharding.make_mesh(8, model=model)
+        _, got = sharding.run_offline_sharded(
+            scene["rig"], cfg, mesh, frames, state
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.persons_raw.xyz),
+            np.asarray(want.persons_raw.xyz),
+            atol=1e-9,
+            err_msg=f"model={model}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.fused.valid), np.asarray(want.fused.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.fused.xyz),
+            np.asarray(want.fused.xyz),
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.feedback.kp2d),
+            np.asarray(want.feedback.kp2d),
+            atol=1e-6,
+        )
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
