@@ -134,8 +134,12 @@ def _associate_camera(
         )
 
     def from_solver(_):
+        # unroll=False keeps a while_loop in this branch so XLA cannot
+        # speculate it; the solver only actually executes on the (rare)
+        # frames with ambiguous pairings (:628). No Pallas here: a kernel
+        # call inside a cond inside the camera scan serializes badly.
         return hungarian.linear_sum_assignment(
-            jnp.minimum(cost, _ASSIGN_COST_CLIP)
+            jnp.minimum(cost, _ASSIGN_COST_CLIP), unroll=False, use_pallas=False
         )
 
     assignment = jax.lax.cond(need_solver, from_solver, from_mask, None)
@@ -234,6 +238,7 @@ def associate(
         step,
         hyps0,
         (jnp.arange(c, dtype=jnp.int32), kp_n, cov_n, det_score, det_ok, f_to_cam),
+        unroll=min(4, c),
     )
     return hyps
 
@@ -531,10 +536,8 @@ def merge_close_persons(persons: Persons3D, config: FusionConfig) -> Persons3D:
     pair_i = jnp.asarray(pairs[:, 0])
     pair_j = jnp.asarray(pairs[:, 1])
 
-    def body(idx, state):
+    def body(i, jj, state):
         xyz, score, cov, valid = state
-        i = pair_i[idx]
-        jj = pair_j[idx]
         both = valid[i] & valid[jj]
         # Mean joint distance over joints valid in both (calc_3D_dist,
         # :392-408).
@@ -567,12 +570,13 @@ def merge_close_persons(persons: Persons3D, config: FusionConfig) -> Persons3D:
         valid = valid.at[jj].set(jnp.where(do_merge, False, valid[jj]))
         return xyz, score, cov, valid
 
-    xyz, score, cov, valid = jax.lax.fori_loop(
-        0,
-        pairs.shape[0],
-        body,
-        (persons.xyz, persons.score, persons.cov, persons.valid),
-    )
+    # Statically unrolled pair sweep: the loop is short (P*(P-1)/2 pairs of
+    # tiny ops) and unrolling removes the per-iteration device-loop dispatch
+    # that dominates fori_loop forms on TPU.
+    state = (persons.xyz, persons.score, persons.cov, persons.valid)
+    for i, jj in pairs:
+        state = body(int(i), int(jj), state)
+    xyz, score, cov, valid = state
     return persons._replace(xyz=xyz, score=score, cov=cov, valid=valid)
 
 

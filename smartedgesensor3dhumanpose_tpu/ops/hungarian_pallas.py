@@ -1,0 +1,178 @@
+"""Pallas TPU kernel: the entire Jonker-Volgenant assignment in ONE kernel.
+
+The pure-JAX solvers in ops.hungarian are algorithmically fine but launch
+hundreds of tiny sequential XLA kernels (each augmenting-search step is a
+handful of element-wise ops + an argmin); at ~2-5 us per launch that
+dominates the tracker's frame budget. Inside a single Pallas kernel the same
+loops become in-core instructions: the whole N<=120 problem state
+(potentials, matching, search tree) lives in (8, 128) VMEM scratch tiles,
+every update is a VPU op over one tile, dynamic indexing is replaced by
+branch-free masked reductions, and the loops carry only scalars (Mosaic
+cannot legalize loop-carried vectors with replicated sublane layouts).
+One launch, ~N^2 vector steps.
+
+Falls back to interpreter mode off-TPU (the CPU test suite runs the same
+code path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBS = 8
+_INF = 3.0e38
+
+
+def _lane_ids():
+    return jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 1)
+
+
+def _row0():
+    return jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 0) == 0
+
+
+def _select_scalar(vec, idx):
+    """vec[0, idx] via a branch-free masked reduction (no dynamic gather)."""
+    return jnp.sum(jnp.where((_lane_ids() == idx) & _row0(), vec, 0))
+
+
+def _jv_kernel(
+    n: int,
+    cost_ref,
+    out_ref,
+    u_ref,
+    v_ref,
+    roc_ref,
+    minv_ref,
+    way_ref,
+    used_ref,
+    tree_ref,
+):
+    """cost_ref: [R, 128] padded cost; out_ref: [1, 128] int32 col_of_row.
+
+    Scratch refs hold the solver state as (8, 128) tiles (row 0 meaningful;
+    int32 0/1 instead of bools). Loops carry scalars only.
+    """
+    col = _lane_ids()
+    valid = col < n
+    virt = jnp.int32(n)  # virtual column index
+
+    cost = cost_ref[:]
+    cost_row_ids = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+
+    def cost_row(i0):
+        return jnp.sum(
+            jnp.where(cost_row_ids == i0, cost, 0.0), axis=0, keepdims=True
+        )
+
+    u_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
+    v_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
+    roc_ref[:] = jnp.full((_SUBS, _LANES), -1, jnp.int32)
+
+    def assign_row(r, _):
+        roc_ref[:] = jnp.where(col == virt, r, roc_ref[:])
+        minv_ref[:] = jnp.full((_SUBS, _LANES), _INF, jnp.float32)
+        way_ref[:] = jnp.full((_SUBS, _LANES), virt, jnp.int32)
+        used_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
+        tree_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
+
+        def search_cond(j0):
+            return _select_scalar(roc_ref[:], j0) >= 0
+
+        def search_body(j0):
+            roc = roc_ref[:]
+            i0 = _select_scalar(roc, j0)
+            used = jnp.where(col == j0, 1, used_ref[:])
+            tree = jnp.where(col == i0, 1, tree_ref[:])
+            used_b = used > 0
+            cur = cost_row(i0) - _select_scalar(u_ref[:], i0) - v_ref[:]
+            minv = minv_ref[:]
+            better = (cur < minv) & ~used_b & valid
+            minv = jnp.where(better, cur, minv)
+            way_ref[:] = jnp.where(better, j0, way_ref[:])
+            masked = jnp.where(used_b | ~valid, _INF, minv)
+            delta = jnp.min(masked)
+            j1 = jnp.min(jnp.where(masked == delta, col, _LANES)).astype(
+                jnp.int32
+            )
+            u_ref[:] = jnp.where(tree > 0, u_ref[:] + delta, u_ref[:])
+            v_ref[:] = jnp.where(used_b, v_ref[:] - delta, v_ref[:])
+            minv_ref[:] = jnp.where(~used_b & valid, minv - delta, minv)
+            used_ref[:] = used
+            tree_ref[:] = tree
+            return j1
+
+        j0 = jax.lax.while_loop(search_cond, search_body, virt)
+
+        def aug_cond(j):
+            return j != virt
+
+        def aug_body(j):
+            roc = roc_ref[:]
+            jprev = _select_scalar(way_ref[:], j)
+            roc_prev = _select_scalar(roc, jprev)
+            roc_ref[:] = jnp.where(col == j, roc_prev, roc)
+            return jprev
+
+        jax.lax.while_loop(aug_cond, aug_body, j0)
+        return 0
+
+    jax.lax.fori_loop(0, n, assign_row, 0)
+
+    # Invert: out[i] = j such that roc[j] == i (masked reductions; Mosaic has
+    # no general gather/transpose at this tiny size).
+    roc = roc_ref[:]
+
+    def invert_row(i, _):
+        j_of_i = jnp.sum(jnp.where((roc == i) & valid & _row0(), col, 0))
+        out_ref[:] = jnp.where(col[0:1] == i, j_of_i, out_ref[:])
+        return 0
+
+    out_ref[:] = jnp.full((1, _LANES), -1, jnp.int32)
+    jax.lax.fori_loop(0, n, invert_row, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _solve_padded(cost_padded: jnp.ndarray, n: int, interpret: bool):
+    kernel = functools.partial(_jv_kernel, n)
+    scratch = [
+        pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # u
+        pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # v
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # roc
+        pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # minv
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # way
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # used
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # tree
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.int32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(cost_padded)
+
+
+def linear_sum_assignment_pallas(
+    cost: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Drop-in for ops.hungarian.linear_sum_assignment (N <= 120).
+
+    Returns col_of_row [R] int32, -1 for unassigned rows.
+    """
+    r, c = cost.shape
+    n = max(r, c)
+    if n > _LANES - 8:
+        raise ValueError(f"pallas JV supports up to {_LANES - 8}, got {n}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows_pad = max(8, -(-n // 8) * 8)
+    padded = jnp.zeros((rows_pad, _LANES), jnp.float32)
+    padded = padded.at[:r, :c].set(cost.astype(jnp.float32))
+    col_of_row = _solve_padded(padded, n, bool(interpret))[0][:r]
+    return jnp.where(col_of_row < c, col_of_row, -1)

@@ -56,6 +56,73 @@ def dlt_rows(
     return norm_rows(r1), norm_rows(r2)
 
 
+def _normal_matrix_direct(P, kp, view_mask, weight_by_conf):
+    """A^T A via materialized DLT rows (works for batch-dependent P)."""
+    r1, r2 = dlt_rows(P, kp, view_mask, weight_by_conf)
+    return linalg.heinsum("...ci,...cj->...ij", r1, r1) + linalg.heinsum(
+        "...ci,...cj->...ij", r2, r2
+    )
+
+
+def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
+    """A^T A in closed coefficient form (static P only).
+
+    Each normalized, weighted DLT row pair contributes
+      w^2 (x p2 - p0)(x p2 - p0)^T / ||x p2 - p0||^2  (+ the y row)
+    which expands over five *constant* per-camera 4x4 outer products
+    (p2 p2^T, p0 p2^T + p2 p0^T, p0 p0^T, p1 p2^T + p2 p1^T, p1 p1^T) with
+    scalar coefficients in x, y, conf. The big [..., C, 4] row tensors never
+    materialize: only a [..., C, 5] coefficient tensor, contracted against
+    [C, 5, 4, 4] constants on the MXU. This is the HBM-bandwidth hot path of
+    the sigma-point / leave-one-out triangulation batches.
+    """
+    dtype = kp.dtype
+    p0, p1, p2 = P[:, 0], P[:, 1], P[:, 2]  # [C, 4]
+
+    def outer(a, b):
+        return a[:, :, None] * b[:, None, :]
+
+    a22 = outer(p2, p2)
+    a02 = outer(p0, p2)
+    a12 = outer(p1, p2)
+    const = jnp.stack(
+        [
+            a22,
+            a02 + jnp.swapaxes(a02, -1, -2),
+            outer(p0, p0),
+            a12 + jnp.swapaxes(a12, -1, -2),
+            outer(p1, p1),
+        ],
+        axis=1,
+    )  # [C, 5, 4, 4] — constant-folded by XLA (P is static data).
+
+    n22 = jnp.sum(p2 * p2, -1)
+    n00 = jnp.sum(p0 * p0, -1)
+    n11 = jnp.sum(p1 * p1, -1)
+    n02 = jnp.sum(p0 * p2, -1)
+    n12 = jnp.sum(p1 * p2, -1)
+
+    x = kp[..., 0]
+    y = kp[..., 1]
+    w2 = kp[..., 2] ** 2 if weight_by_conf else jnp.ones_like(x)
+    nx = x * x * n22 - 2.0 * x * n02 + n00
+    ny = y * y * n22 - 2.0 * y * n12 + n11
+    wmask = jnp.where(view_mask, w2, 0.0)
+    inv_nx = wmask / jnp.maximum(nx, 1e-30)
+    inv_ny = wmask / jnp.maximum(ny, 1e-30)
+    coeff = jnp.stack(
+        [
+            x * x * inv_nx + y * y * inv_ny,
+            -x * inv_nx,
+            inv_nx,
+            -y * inv_ny,
+            inv_ny,
+        ],
+        axis=-1,
+    )  # [..., C, 5]
+    return linalg.heinsum("...ck,ckij->...ij", coeff, const.astype(dtype))
+
+
 def triangulate(
     P: jnp.ndarray,
     kp: jnp.ndarray,
@@ -78,20 +145,22 @@ def triangulate(
     Returns:
       [..., 3] triangulated points.
     """
-    r1, r2 = dlt_rows(P, kp, view_mask, weight_by_conf)
-    m = linalg.heinsum("...ci,...cj->...ij", r1, r1) + linalg.heinsum(
-        "...ci,...cj->...ij", r2, r2
-    )
+    if P.ndim == 3:
+        m = _normal_matrix_coeff(P, kp, view_mask, weight_by_conf)
+    else:
+        m = _normal_matrix_direct(P, kp, view_mask, weight_by_conf)
     # Masked-out batches have m == 0; bias with identity so Jacobi stays
     # finite (the resulting point is gated out by the caller's masks).
     deficient = jnp.sum(view_mask, axis=-1) < 2
     m = m + jnp.where(deficient[..., None, None], 1.0, 0.0) * jnp.eye(
         4, dtype=m.dtype
     )
-    h = linalg.smallest_eigvec4(m, sweeps=sweeps)
+    h = linalg.smallest_eigvec4_psd(m)
     w = h[..., 3]
     w = jnp.where(jnp.abs(w) > 1e-20, w, 1e-20)
-    return h[..., :3] / w[..., None]
+    xyz = h[..., :3] / w[..., None]
+    # Deficient lanes are gated out by callers; keep them finite and tame.
+    return jnp.where(deficient[..., None], 0.0, xyz)
 
 
 def triangulate_refined(
@@ -119,18 +188,16 @@ def triangulate_refined(
     t_new = linalg.heinsum("cij,...j->...ci", P, x0h)  # [..., C, 3]
     p_shift = jnp.broadcast_to(P, x0.shape[:-1] + P.shape)
     p_shift = jnp.concatenate([p_shift[..., :3], t_new[..., None]], axis=-1)
-    r1, r2 = dlt_rows(p_shift, kp, view_mask, weight_by_conf)
-    m = linalg.heinsum("...ci,...cj->...ij", r1, r1) + linalg.heinsum(
-        "...ci,...cj->...ij", r2, r2
-    )
+    m = _normal_matrix_direct(p_shift, kp, view_mask, weight_by_conf)
     deficient = jnp.sum(view_mask, axis=-1) < 2
     m = m + jnp.where(deficient[..., None, None], 1.0, 0.0) * jnp.eye(
         4, dtype=m.dtype
     )
-    h = linalg.smallest_eigvec4(m, sweeps=sweeps)
+    h = linalg.smallest_eigvec4_psd(m)
     w = h[..., 3]
     w = jnp.where(jnp.abs(w) > 1e-20, w, 1e-20)
-    return x0 + h[..., :3] / w[..., None]
+    delta = h[..., :3] / w[..., None]
+    return jnp.where(deficient[..., None], 0.0, x0 + delta)
 
 
 def reprojection_error(

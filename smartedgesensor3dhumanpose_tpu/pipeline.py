@@ -104,9 +104,15 @@ class Pipeline:
     throughput (the bag-replay benchmarking mode).
     """
 
-    def __init__(self, rig: CameraRig, config: PipelineConfig):
+    def __init__(
+        self,
+        rig: CameraRig,
+        config: PipelineConfig,
+        fusion_batch: int = 64,
+    ):
         self.rig = rig
         self.config = config
+        self._fusion_batch = fusion_batch
         self._step = jax.jit(
             functools.partial(step, rig=rig, config=config)
         )
@@ -122,14 +128,71 @@ class Pipeline:
         return self._step(state, frame)
 
     def _scan_impl(self, state: TrackerState, frames: Frame):
-        def body(carry, frame):
-            carry, out = step(carry, frame, self.rig, self.config)
+        """Offline throughput mode: the stateless stages run *batched over
+        the whole sequence* (fusion and reprojection vmap over the time
+        axis — one kernel launch sequence for all frames), and only the
+        genuinely sequential tracker runs as a scan. Identical math to the
+        per-frame step; drastically fewer sequential kernel launches."""
+        from smartedgesensor3dhumanpose_tpu import (  # local to avoid cycle
+            fusion,
+            reprojection,
+            tracking,
+        )
+
+        config = self.config
+        rig = self.rig
+
+        def fuse_one(frame):
+            frame, pivot = mask_stale_cameras(frame, config.fusion.max_sync_diff)
+            return fusion.fuse_frame(frame, rig, config.fusion), pivot
+
+        # Chunked batching: full vmap over a long sequence materializes the
+        # sigma-point/leave-one-out intermediates for every frame at once
+        # (O(T x H x J x 5C) tensors — hundreds of MB for T ~ 256); chunks
+        # keep HBM bounded while still amortizing kernel launches.
+        persons, pivots = jax.lax.map(
+            fuse_one, frames, batch_size=self._fusion_batch
+        )
+
+        def track_body(carry, xs):
+            person_t, pivot_t, fb_t = xs
+            carry, out = tracking.step(
+                carry,
+                person_t,
+                pivot_t.astype(person_t.xyz.dtype),
+                fb_t,
+                config.prior,
+                config.tracker,
+            )
             return carry, out
 
-        return jax.lax.scan(body, state, frames)
+        state, track_outs = jax.lax.scan(
+            track_body, state, (persons, pivots, frames.fb_delay)
+        )
+
+        def reproj_one(pred_t, delta_t):
+            return reprojection.reproject(
+                pred_t,
+                rig,
+                config.prior.pose_method,
+                delta_t,
+                ut_kappa=config.fusion.ut_kappa,
+            )
+
+        feedback = jax.vmap(reproj_one)(
+            track_outs.fused_pred, track_outs.pred_delta_t
+        )
+        return state, StepOutput(
+            persons_raw=persons,
+            fused=track_outs.fused,
+            fused_pred=track_outs.fused_pred,
+            feedback=feedback,
+            pred_delta_t=track_outs.pred_delta_t,
+            pivot_stamp=pivots,
+        )
 
     def run_offline(self, state: TrackerState, frames: Frame):
         """Process a stacked sequence (leading time axis on every Frame
-        field) in one compiled scan. Returns (final_state, StepOutput with a
-        leading time axis)."""
+        field) in one compiled program. Returns (final_state, StepOutput with
+        a leading time axis)."""
         return self._scan(state, frames)

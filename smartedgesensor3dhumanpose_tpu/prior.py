@@ -236,9 +236,13 @@ def _linearize(
     bi: jnp.ndarray,
     bj: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Assemble H [P, K, 3, K, 3], gradient g [P, K, 3] and error [P]."""
+    """Assemble H [P, K, 3, K, 3], gradient g [P, K, 3] and error [P].
+
+    The block structure is materialized with static one-hot/incidence
+    einsums rather than scatters (scatters into a 63x63 tensor dominate the
+    LM iteration cost on TPU; the incidence form is two tiny contractions).
+    """
     dtype = x.dtype
-    p = x.shape[0]
 
     # Unary factors: r = x - m, whitened by inv_cov.
     r_u = x - g_in.meas  # [P, K, 3]
@@ -247,15 +251,19 @@ def _linearize(
     err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
     g = act[..., None] * w_r  # [P, K, 3]
     h_diag = act[..., None, None] * g_in.inv_cov  # [P, K, 3, 3]
+    eye_k = jnp.eye(_K, dtype=dtype)
+    h = linalg.heinsum("kl,pkij->pkilj", eye_k, h_diag)
 
-    h = jnp.zeros((p, _K, 3, _K, 3), dtype)
-    k_idx = jnp.arange(_K)
-    h = h.at[:, k_idx, :, k_idx, :].add(jnp.swapaxes(h_diag, 0, 1))
-
-    # Bone range factors: r = ||xi - xj|| - L, J = [u, -u].
-    xi = x[:, bi]  # [P, B, 3]
-    xj = x[:, bj]
-    d = xi - xj
+    # Bone range factors: r = ||xi - xj|| - L, J = S^T u with the signed
+    # incidence matrix S[b, k] = +1 at bi, -1 at bj.
+    inc = (
+        jnp.zeros((bi.shape[0], _K), dtype)
+        .at[jnp.arange(bi.shape[0]), bi]
+        .add(1.0)
+        .at[jnp.arange(bj.shape[0]), bj]
+        .add(-1.0)
+    )
+    d = x[:, bi] - x[:, bj]
     n = jnp.linalg.norm(d, axis=-1)
     safe = n > 1e-12
     u = d / jnp.where(safe, n, 1.0)[..., None]
@@ -264,15 +272,10 @@ def _linearize(
     err = err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
 
     g_b = (wb * r_b)[..., None] * u  # [P, B, 3]
-    g = g.at[:, bi].add(g_b)
-    g = g.at[:, bj].add(-g_b)
+    g = g + linalg.heinsum("bk,pbi->pki", inc, g_b)
 
     uu = wb[..., None, None] * u[..., :, None] * u[..., None, :]  # [P,B,3,3]
-    # Scatter bone blocks: (i,i)+, (j,j)+, (i,j)-, (j,i)-.
-    h = h.at[:, bi, :, bi, :].add(jnp.swapaxes(uu, 0, 1))
-    h = h.at[:, bj, :, bj, :].add(jnp.swapaxes(uu, 0, 1))
-    h = h.at[:, bi, :, bj, :].add(jnp.swapaxes(-uu, 0, 1))
-    h = h.at[:, bj, :, bi, :].add(jnp.swapaxes(-uu, 0, 1))
+    h = h + linalg.heinsum("bk,bl,pbij->pkilj", inc, inc, uu)
     return h, g, err
 
 
@@ -336,17 +339,24 @@ def optimize(
         h2 = h.reshape(p, 3 * _K, 3 * _K)
         g2 = g.reshape(p, 3 * _K)
         damped = h2 + lam[:, None, None] * eye
-        delta = jnp.linalg.solve(damped, -g2[..., None])[..., 0].reshape(
-            p, _K, 3
-        )
+        # SPD system: Cholesky is ~2x cheaper than LU on TPU and never
+        # pivots (static schedule).
+        chol = jax.scipy.linalg.cholesky(damped, lower=True)
+        delta = jax.scipy.linalg.cho_solve(
+            (chol, True), -g2[..., None]
+        )[..., 0].reshape(p, _K, 3)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         x_new = x + delta
         err_new = _error_only(x_new, g_in, bone_len, bone_w, bi, bj)
         accept = (err_new < err) & jnp.isfinite(err_new)
         dec = err - err_new
-        conv = accept & (
-            (dec <= cfg.lm_absolute_error_tol)
-            | (dec <= cfg.lm_relative_error_tol * err)
+        # Converged when the attempted step barely changes the error —
+        # in either direction (gtsam checkConvergence semantics); a state
+        # already at the optimum must terminate immediately rather than
+        # escalate lambda to the ceiling.
+        conv = jnp.isfinite(err_new) & (
+            (jnp.abs(dec) <= cfg.lm_absolute_error_tol)
+            | (jnp.abs(dec) <= cfg.lm_relative_error_tol * err)
         )
         x = jnp.where((accept & ~done)[:, None, None], x_new, x)
         err = jnp.where(accept & ~done, err_new, err)
@@ -374,7 +384,10 @@ def optimize(
     # (:760-767); non-finite -> default sigma fallback.
     h, _, _ = _linearize(x, g_in, bone_len, bone_w, bi, bj)
     h2 = h.reshape(p, 3 * _K, 3 * _K)
-    cov_full = jnp.linalg.inv(h2)
+    chol = jax.scipy.linalg.cholesky(h2, lower=True)
+    cov_full = jax.scipy.linalg.cho_solve(
+        (chol, True), jnp.broadcast_to(jnp.eye(3 * _K, dtype=dtype), h2.shape)
+    )
     marg_ok = jnp.all(jnp.isfinite(cov_full.reshape(p, -1)), axis=-1) & ~bad
     cov_full = jnp.where(
         marg_ok[:, None, None], cov_full, jnp.eye(3 * _K, dtype=dtype)

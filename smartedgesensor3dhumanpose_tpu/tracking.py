@@ -274,10 +274,8 @@ def _merge_tracks(
 
     world = est * height_prev[:, None, None] + root_prev[:, None, :]
 
-    def body(idx, carry):
+    def body(i, j, carry):
         alive, fid, pid = carry
-        i = pair_i[idx]
-        j = pair_j[idx]
         both = alive[i] & alive[j]
         ok = est_exists[i] & est_exists[j]
         d = jnp.linalg.norm(world[i] - world[j], axis=-1)
@@ -291,12 +289,10 @@ def _merge_tracks(
         pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
         return alive, fid, pid
 
-    alive, fid, pid = jax.lax.fori_loop(
-        0,
-        pairs.shape[0],
-        body,
-        (alive, fused.person_id, fused_pred.person_id),
-    )
+    carry = (alive, fused.person_id, fused_pred.person_id)
+    for i, j in pairs:  # statically unrolled (see fusion.merge_close_persons)
+        carry = body(int(i), int(j), carry)
+    alive, fid, pid = carry
     return (
         alive,
         fused._replace(person_id=fid),

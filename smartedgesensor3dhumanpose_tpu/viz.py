@@ -1,0 +1,158 @@
+"""Visualization: 2D keypoint overlays and 3D skeleton plots.
+
+Replaces the reference's debug viz stack — the per-camera 2D overlay node
+(person_msgs/scripts/pose2D_plot_node.py: COCO keypoints + limb pairs + bbox
+on a white canvas) and the rviz MarkerArray skeletons (LINE_LIST bones +
+SPHERE_LIST joints with per-joint colors, skeleton_3d_triang_mult_node.cpp:
+676-921, colors :1140-1170). Matplotlib-based; optional (the pipeline never
+imports this module).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import skeleton
+
+# Per-joint RGB colors of the fusion skeleton (reference :1142-1162, 0-255).
+FUSION_COLORS = (
+    np.array(
+        [
+            (255, 0, 0), (85, 170, 0), (0, 255, 0), (0, 255, 170),
+            (0, 170, 255), (85, 255, 0), (0, 255, 85), (0, 255, 255),
+            (0, 85, 170), (0, 0, 255), (100, 0, 255), (255, 0, 255),
+            (0, 85, 255), (50, 0, 255), (170, 0, 255), (255, 170, 0),
+            (255, 85, 0), (170, 255, 0), (255, 255, 0), (255, 150, 0),
+            (42, 128, 85),
+        ],
+        dtype=np.float64,
+    )
+    / 255.0
+)
+
+
+def draw_2d_overlay(
+    ax,
+    kp2d: np.ndarray,
+    kp_valid: Optional[np.ndarray] = None,
+    bbox: Optional[np.ndarray] = None,
+    image_size: Sequence[float] = (640, 480),
+    min_score: float = 0.0,
+):
+    """Draw one camera's detections (COCO-17 layout) on a matplotlib axis.
+
+    Args:
+      kp2d: [P, 17, 3] pixel keypoints (x, y, score).
+      kp_valid: optional [P, 17] mask (defaults to score > min_score).
+      bbox: optional [P, 4] (x0, y0, x1, y1).
+    """
+    import matplotlib.patches as patches
+
+    kp2d = np.asarray(kp2d)
+    if kp_valid is None:
+        kp_valid = kp2d[..., 2] > min_score
+    to_fusion = np.asarray(skeleton.SIMPLE_MODEL.to_fusion)
+    for p in range(kp2d.shape[0]):
+        if not kp_valid[p].any():
+            continue
+        for a, b in np.asarray(skeleton.COCO_LIMB_PAIRS):
+            if kp_valid[p, a] and kp_valid[p, b]:
+                ax.plot(
+                    [kp2d[p, a, 0], kp2d[p, b, 0]],
+                    [kp2d[p, a, 1], kp2d[p, b, 1]],
+                    color=FUSION_COLORS[to_fusion[b]],
+                    linewidth=2,
+                )
+        for j in range(kp2d.shape[1]):
+            if kp_valid[p, j]:
+                ax.plot(
+                    kp2d[p, j, 0],
+                    kp2d[p, j, 1],
+                    "o",
+                    color=FUSION_COLORS[to_fusion[j]],
+                    markersize=3,
+                )
+        if bbox is not None and kp_valid[p].any():
+            x0, y0, x1, y1 = np.asarray(bbox[p])
+            ax.add_patch(
+                patches.Rectangle(
+                    (x0, y0), x1 - x0, y1 - y0, fill=False, edgecolor="gray"
+                )
+            )
+    ax.set_xlim(0, image_size[0])
+    ax.set_ylim(image_size[1], 0)
+    ax.set_aspect("equal")
+
+
+def draw_skeleton_3d(
+    ax,
+    xyz: np.ndarray,
+    score: np.ndarray,
+    person_id: Optional[int] = None,
+):
+    """Draw one 21-joint fusion skeleton on a 3D matplotlib axis, bones
+    following the parent tree (reference marker construction :901-918)."""
+    xyz = np.asarray(xyz)
+    score = np.asarray(score)
+    parent = skeleton.FUSION_PARENT
+    for j in range(skeleton.NUM_FUSION_JOINTS):
+        if score[j] <= 0:
+            continue
+        ax.scatter(*xyz[j], color=FUSION_COLORS[j], s=15)
+        pj = parent[j]
+        if pj >= 0 and score[pj] > 0:
+            ax.plot(
+                [xyz[j, 0], xyz[pj, 0]],
+                [xyz[j, 1], xyz[pj, 1]],
+                [xyz[j, 2], xyz[pj, 2]],
+                color=FUSION_COLORS[j],
+                linewidth=2,
+            )
+    if person_id is not None and score.max() > 0:
+        top = xyz[score > 0][:, 2].max()
+        center = xyz[score > 0].mean(axis=0)
+        ax.text(center[0], center[1], top + 0.15, f"#{person_id}")
+
+
+def render_frame_summary(
+    out,
+    rig,
+    path: str,
+    cameras_to_show: Sequence[int] = (0, 1, 2, 3),
+):
+    """Save a PNG with the fused 3D skeletons plus a grid of per-camera
+    feedback overlays — the rqt/rviz dashboard equivalent (C26)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n_cams = len(cameras_to_show)
+    fig = plt.figure(figsize=(4 * (n_cams + 1), 4))
+    ax3d = fig.add_subplot(1, n_cams + 1, 1, projection="3d")
+    valid = np.asarray(out.fused.valid)
+    for p in np.nonzero(valid)[0]:
+        draw_skeleton_3d(
+            ax3d,
+            np.asarray(out.fused.xyz[p]),
+            np.asarray(out.fused.score[p]),
+            int(np.asarray(out.fused.person_id[p])),
+        )
+    ax3d.set_title("fused 3D")
+    size = np.asarray(rig.image_size)
+    for k, c in enumerate(cameras_to_show):
+        ax = fig.add_subplot(1, n_cams + 1, k + 2)
+        draw_2d_overlay(
+            ax,
+            np.asarray(out.feedback.kp2d[c]),
+            np.asarray(out.feedback.kp_valid[c]),
+            np.asarray(out.feedback.bbox[c]),
+            image_size=size[c],
+        )
+        ax.set_title(f"cam {c} feedback")
+    fig.tight_layout()
+    fig.savefig(path, dpi=80)
+    plt.close(fig)
+    return path
