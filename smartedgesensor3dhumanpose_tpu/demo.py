@@ -1,0 +1,174 @@
+"""Demo runner: the `roslaunch pose_prior pose_triangulate_demo.launch`
+equivalent (README.md:40-49).
+
+Replays the 16-camera / 6-person hall sequence (synthetic, or a recorded
+NPZ/JSONL via io.replay) through the full pipeline and reports the
+per-detection-count timing buckets the reference prints at shutdown.
+
+Usage:
+  python -m smartedgesensor3dhumanpose_tpu.demo                 # offline scan
+  python -m smartedgesensor3dhumanpose_tpu.demo --online        # per-frame
+  python -m smartedgesensor3dhumanpose_tpu.demo --jsonl f.jsonl # replay file
+  python -m smartedgesensor3dhumanpose_tpu.demo --viz out.png   # dashboard
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_demo(num_cameras: int, num_people: int, num_frames: int, seed: int):
+    from smartedgesensor3dhumanpose_tpu import pipeline
+    from smartedgesensor3dhumanpose_tpu.config import (
+        FusionConfig,
+        PipelineConfig,
+        TrackerConfig,
+    )
+    from smartedgesensor3dhumanpose_tpu.io import synthetic
+    from smartedgesensor3dhumanpose_tpu.types import Frame
+
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=num_cameras,
+            num_people=num_people,
+            num_frames=num_frames,
+            seed=seed,
+        )
+    )
+    config = PipelineConfig(
+        fusion=FusionConfig(
+            num_cameras=num_cameras,
+            max_dets_per_cam=num_people,
+            max_hypotheses=2 * num_people,
+            max_epipolar_error=0.045,
+        ),
+        tracker=TrackerConfig(max_tracks=2 * num_people),
+    )
+    data = synthetic.frames_from_scene(scene)
+    frames = Frame(
+        kp2d=jnp.asarray(data["kp2d"]),
+        cov2d=jnp.asarray(data["cov2d"]),
+        det_score=jnp.asarray(data["det_score"]),
+        det_valid=jnp.asarray(data["det_valid"]),
+        cam_stamp=jnp.asarray(data["cam_stamp"], jnp.float32),
+        fb_delay=jnp.asarray(data["fb_delay"]),
+    )
+    return scene, config, frames, pipeline.Pipeline(scene["rig"], config)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--cameras", type=int, default=16)
+    parser.add_argument("--people", type=int, default=6)
+    parser.add_argument("--frames", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--online", action="store_true",
+                        help="per-frame stepping instead of the offline scan")
+    parser.add_argument("--jsonl", type=str, default=None,
+                        help="replay a recorded JSONL through the native "
+                             "approximate-time synchronizer")
+    parser.add_argument("--viz", type=str, default=None,
+                        help="write a dashboard PNG of the last frame")
+    parser.add_argument("--save", type=str, default=None,
+                        help="write fused outputs to this NPZ")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="save final tracker state here")
+    args = parser.parse_args(argv)
+
+    from smartedgesensor3dhumanpose_tpu import checkpoint, timing
+    from smartedgesensor3dhumanpose_tpu.types import Frame
+
+    scene, config, frames, pipe = build_demo(
+        args.cameras, args.people, args.frames, args.seed
+    )
+
+    if args.jsonl:
+        from smartedgesensor3dhumanpose_tpu.io import replay as replay_lib
+
+        packed = list(
+            replay_lib.replay_jsonl(
+                args.jsonl, args.cameras, args.people
+            )
+        )
+        print(f"replayed {len(packed)} synchronized frames from {args.jsonl}")
+        frames = Frame(
+            kp2d=jnp.asarray(np.stack([f["kp2d"] for f in packed])),
+            cov2d=jnp.asarray(np.stack([f["cov2d"] for f in packed])),
+            det_score=jnp.asarray(np.stack([f["det_score"] for f in packed])),
+            det_valid=jnp.asarray(np.stack([f["det_valid"] for f in packed])),
+            cam_stamp=jnp.asarray(
+                np.stack([f["cam_stamp"] for f in packed]), jnp.float32
+            ),
+            fb_delay=jnp.asarray(np.stack([f["fb_delay"] for f in packed])),
+        )
+
+    n = frames.kp2d.shape[0]
+    state = pipe.init_state()
+    buckets = timing.TimingBuckets("Pipeline")
+
+    if args.online:
+        # Warm up the compile, then step frame by frame (latest-wins online
+        # semantics are the host loop's job; here we just replay in order).
+        _, out = pipe.step(state, jax.tree.map(lambda a: a[0], frames))
+        jax.block_until_ready(out)
+        st = state
+        out = None
+        for i in range(n):
+            fr = jax.tree.map(lambda a: a[i], frames)
+            t0 = time.perf_counter()
+            st, out = pipe.step(st, fr)
+            jax.block_until_ready(out)
+            n_det = int(np.asarray(out.fused.valid).sum())
+            buckets.add(time.perf_counter() - t0, n_det)
+        final_state = st
+        last = out
+        outs = None
+    else:
+        t0 = time.perf_counter()
+        final_state, outs = pipe.run_offline(state, frames)
+        jax.block_until_ready(outs)
+        compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        final_state, outs = pipe.run_offline(state, frames)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        fps = n / dt
+        print(f"compile+first-run: {compile_and_run:.1f}s")
+        print(f"offline replay: {n} frames in {dt*1e3:.1f} ms "
+              f"-> {fps:.0f} fused frames/s")
+        for t in range(n):
+            n_det = int(np.asarray(outs.fused.valid[t]).sum())
+            buckets.add(dt / n, n_det)
+        last = jax.tree.map(lambda a: a[-1], outs)
+
+    print(buckets.report())
+    valid = np.asarray(last.fused.valid)
+    ids = np.asarray(last.fused.person_id)[valid]
+    print(f"last frame: {valid.sum()} fused persons published, ids={sorted(ids.tolist())}")
+
+    if args.viz:
+        from smartedgesensor3dhumanpose_tpu import viz
+
+        viz.render_frame_summary(last, scene["rig"], args.viz)
+        print(f"dashboard written to {args.viz}")
+    if args.save and outs is not None:
+        np.savez_compressed(
+            args.save,
+            fused_xyz=np.asarray(outs.fused.xyz),
+            fused_score=np.asarray(outs.fused.score),
+            fused_valid=np.asarray(outs.fused.valid),
+            person_id=np.asarray(outs.fused.person_id),
+        )
+        print(f"outputs written to {args.save}")
+    if args.checkpoint:
+        checkpoint.save_tracker_state(args.checkpoint, final_state)
+        print(f"tracker state written to {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

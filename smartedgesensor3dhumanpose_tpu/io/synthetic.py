@@ -40,6 +40,8 @@ class SceneConfig:
     # Permute detection slots independently per camera (real detectors emit
     # people in arbitrary order; association must not rely on alignment).
     shuffle_detections: bool = True
+    # 17-joint layout emitted: "simple" (COCO order) or "h36m".
+    pose_method: str = "simple"
     seed: int = 0
 
 
@@ -67,6 +69,30 @@ _COCO_POSE = np.array(
     ]
 )
 _HIP_HEIGHT = 0.92
+
+
+def _coco_to_h36m(coco_pose: np.ndarray) -> np.ndarray:
+    """Derive the 17-joint H36M layout from a COCO-order pose.
+
+    H36M order: nose, head, neck, belly, root(mid-hip), lsho, rsho, lelb,
+    relb, lwri, rwri, lhip, rhip, lkne, rkne, lank, rank (reference
+    EdgeTPU_BodyParts_H36M, skeleton_3d_triang_mult_node.cpp:111-137).
+    """
+    nose = coco_pose[0]
+    lsho, rsho = coco_pose[5], coco_pose[6]
+    lhip, rhip = coco_pose[11], coco_pose[12]
+    neck = 0.5 * (lsho + rsho)
+    root = 0.5 * (lhip + rhip)
+    head = nose + np.array([0.0, -0.04, 0.10])
+    belly = root + 0.45 * (neck - root)
+    return np.stack(
+        [
+            nose, head, neck, belly, root,
+            lsho, rsho, coco_pose[7], coco_pose[8], coco_pose[9],
+            coco_pose[10], lhip, rhip, coco_pose[13], coco_pose[14],
+            coco_pose[15], coco_pose[16],
+        ]
+    )
 
 
 def _person_trajectories(cfg: SceneConfig, rng: np.random.Generator):
@@ -134,7 +160,10 @@ def generate_scene(cfg: SceneConfig, rig: Optional[CameraRig] = None):
             root = np.array(
                 [traj[ti, pi, 0], traj[ti, pi, 1], _HIP_HEIGHT * scale[pi]]
             )
-            gt[ti, pi] = root + pose
+            joints = root + pose
+            if cfg.pose_method == "h36m":
+                joints = _coco_to_h36m(joints)
+            gt[ti, pi] = joints
 
     kp2d = np.zeros((t, c, p, 17, 3), np.float32)
     cov2d = np.zeros((t, c, p, 17, 3), np.float32)
