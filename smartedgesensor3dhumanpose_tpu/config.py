@@ -54,6 +54,14 @@ class FusionConfig:
     ut_kappa: float = 0.5
     # Cost assigned to infeasible pairings (MAX_COSTS, :43).
     max_cost: float = 1.0e6
+    # Assignment solver strategy inside the association scan:
+    #  "cond_while": run a while-loop JV behind a lax.cond (only executes on
+    #    ambiguous frames; best for the online per-frame path),
+    #  "pallas": always run the single-kernel Pallas JV (best when the
+    #    fusion stage is batched over frames and the cond would be
+    #    speculated anyway),
+    #  "unrolled": always run the unrolled XLA JV.
+    assignment_impl: str = "cond_while"
 
     @property
     def num_input_joints(self) -> int:

@@ -133,16 +133,29 @@ def _associate_camera(
             any_row, jnp.argmax(mask, axis=1).astype(jnp.int32), -1
         )
 
-    def from_solver(_):
-        # unroll=False keeps a while_loop in this branch so XLA cannot
-        # speculate it; the solver only actually executes on the (rare)
-        # frames with ambiguous pairings (:628). No Pallas here: a kernel
-        # call inside a cond inside the camera scan serializes badly.
-        return hungarian.linear_sum_assignment(
-            jnp.minimum(cost, _ASSIGN_COST_CLIP), unroll=False, use_pallas=False
-        )
+    if config.assignment_impl == "cond_while":
 
-    assignment = jax.lax.cond(need_solver, from_solver, from_mask, None)
+        def from_solver(_):
+            # unroll=False keeps a while_loop in this branch so XLA cannot
+            # speculate it; the solver only actually executes on the (rare)
+            # frames with ambiguous pairings (:628).
+            return hungarian.linear_sum_assignment(
+                jnp.minimum(cost, _ASSIGN_COST_CLIP),
+                unroll=False,
+                use_pallas=False,
+            )
+
+        assignment = jax.lax.cond(need_solver, from_solver, from_mask, None)
+    else:
+        # Unconditional solve (the cond would be speculated away under the
+        # frame-batched fusion path anyway); the mask-derived assignment
+        # still overrides it on unambiguous frames for exact reference
+        # parity of that path.
+        solved = hungarian.linear_sum_assignment(
+            jnp.minimum(cost, _ASSIGN_COST_CLIP),
+            use_pallas=config.assignment_impl == "pallas",
+        )
+        assignment = jnp.where(need_solver, solved, from_mask(None))
 
     # Interpret the assignment (:636-673). An assigned *valid* detection
     # either extends the hypothesis (feasible) or spawns a new one

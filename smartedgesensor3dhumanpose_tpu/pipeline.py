@@ -133,6 +133,8 @@ class Pipeline:
         axis — one kernel launch sequence for all frames), and only the
         genuinely sequential tracker runs as a scan. Identical math to the
         per-frame step; drastically fewer sequential kernel launches."""
+        import dataclasses
+
         from smartedgesensor3dhumanpose_tpu import (  # local to avoid cycle
             fusion,
             reprojection,
@@ -141,10 +143,23 @@ class Pipeline:
 
         config = self.config
         rig = self.rig
+        # Under the frame-batched vmap the association's lax.cond is
+        # speculated into a select (both branches always run), so the
+        # branch-protected while-loop solver buys nothing — run the Pallas
+        # solver unconditionally instead (identical assignments, fewer
+        # sequential kernels). The online step keeps "cond_while".
+        fusion_cfg = config.fusion
+        if (
+            fusion_cfg.assignment_impl == "cond_while"
+            and jax.default_backend() == "tpu"
+        ):
+            fusion_cfg = dataclasses.replace(
+                fusion_cfg, assignment_impl="pallas"
+            )
 
         def fuse_one(frame):
-            frame, pivot = mask_stale_cameras(frame, config.fusion.max_sync_diff)
-            return fusion.fuse_frame(frame, rig, config.fusion), pivot
+            frame, pivot = mask_stale_cameras(frame, fusion_cfg.max_sync_diff)
+            return fusion.fuse_frame(frame, rig, fusion_cfg), pivot
 
         # Chunked batching: full vmap over a long sequence materializes the
         # sigma-point/leave-one-out intermediates for every frame at once
