@@ -78,6 +78,9 @@ def main(argv=None):
                         help="write fused outputs to this NPZ")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="save final tracker state here")
+    parser.add_argument("--vis-cov", action="store_true",
+                        help="track + report 3D sigma statistics (the "
+                             "reference's vis_cov shutdown dump)")
     args = parser.parse_args(argv)
 
     from smartedgesensor3dhumanpose_tpu import checkpoint, timing
@@ -147,6 +150,15 @@ def main(argv=None):
         last = jax.tree.map(lambda a: a[-1], outs)
 
     print(buckets.report())
+    if args.vis_cov and outs is not None:
+        from smartedgesensor3dhumanpose_tpu import viz
+
+        stats = viz.SigmaStats()
+        for t in range(n):
+            stats.update(
+                np.asarray(outs.fused.cov[t]), np.asarray(outs.fused.score[t])
+            )
+        print(stats.report())
     valid = np.asarray(last.fused.valid)
     ids = np.asarray(last.fused.person_id)[valid]
     print(f"last frame: {valid.sum()} fused persons published, ids={sorted(ids.tolist())}")

@@ -250,7 +250,11 @@ def _linearize(
     act = g_in.active.astype(dtype)
     err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
     g = act[..., None] * w_r  # [P, K, 3]
-    h_diag = act[..., None, None] * g_in.inv_cov  # [P, K, 3, 3]
+    # Diagonal blocks: the measured joints' information matrices; unmeasured
+    # joints keep their decoupled unit anchor (build_graph_inputs stores
+    # identity there) — masking them to zero would make H singular and the
+    # float32 factorization NaN out.
+    h_diag = g_in.inv_cov  # [P, K, 3, 3]
     eye_k = jnp.eye(_K, dtype=dtype)
     h = linalg.heinsum("kl,pkij->pkilj", eye_k, h_diag)
 
@@ -339,12 +343,21 @@ def optimize(
         h2 = h.reshape(p, 3 * _K, 3 * _K)
         g2 = g.reshape(p, 3 * _K)
         damped = h2 + lam[:, None, None] * eye
+        # Jacobi equilibration: the root block's information is scaled by
+        # root_sigma_factor^2 (1e8 relative to the unit anchors), putting the
+        # raw condition number beyond float32; the symmetrically scaled
+        # system is well-conditioned on TPU.
+        sc = 1.0 / jnp.sqrt(
+            jnp.maximum(jnp.diagonal(damped, axis1=-2, axis2=-1), 1e-30)
+        )
+        h_eq = damped * sc[:, :, None] * sc[:, None, :]
         # SPD system: Cholesky is ~2x cheaper than LU on TPU and never
         # pivots (static schedule).
-        chol = jax.scipy.linalg.cholesky(damped, lower=True)
-        delta = jax.scipy.linalg.cho_solve(
-            (chol, True), -g2[..., None]
-        )[..., 0].reshape(p, _K, 3)
+        chol = jax.scipy.linalg.cholesky(h_eq, lower=True)
+        delta = sc * jax.scipy.linalg.cho_solve(
+            (chol, True), (-g2 * sc)[..., None]
+        )[..., 0]
+        delta = delta.reshape(p, _K, 3)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         x_new = x + delta
         err_new = _error_only(x_new, g_in, bone_len, bone_w, bi, bj)
@@ -384,10 +397,17 @@ def optimize(
     # (:760-767); non-finite -> default sigma fallback.
     h, _, _ = _linearize(x, g_in, bone_len, bone_w, bi, bj)
     h2 = h.reshape(p, 3 * _K, 3 * _K)
-    chol = jax.scipy.linalg.cholesky(h2, lower=True)
-    cov_full = jax.scipy.linalg.cho_solve(
-        (chol, True), jnp.broadcast_to(jnp.eye(3 * _K, dtype=dtype), h2.shape)
+    # Equilibrated inverse (see lm_step): H^-1 = S (S H S)^-1 S.
+    sc = 1.0 / jnp.sqrt(
+        jnp.maximum(jnp.diagonal(h2, axis1=-2, axis2=-1), 1e-30)
     )
+    h_eq = h2 * sc[:, :, None] * sc[:, None, :]
+    chol = jax.scipy.linalg.cholesky(h_eq, lower=True)
+    inv_eq = jax.scipy.linalg.cho_solve(
+        (chol, True),
+        jnp.broadcast_to(jnp.eye(3 * _K, dtype=dtype), h_eq.shape),
+    )
+    cov_full = inv_eq * sc[:, :, None] * sc[:, None, :]
     marg_ok = jnp.all(jnp.isfinite(cov_full.reshape(p, -1)), axis=-1) & ~bad
     cov_full = jnp.where(
         marg_ok[:, None, None], cov_full, jnp.eye(3 * _K, dtype=dtype)

@@ -116,6 +116,59 @@ def draw_skeleton_3d(
         ax.text(center[0], center[1], top + 0.15, f"#{person_id}")
 
 
+def draw_covariance_ellipsoid(ax, xyz, cov, color, n_std=2.7955, alpha=0.25):
+    """2-sigma covariance ellipsoid (the reference's vis_cov markers,
+    skeleton_3d_triang_mult_node.cpp:279-301; 2.7955 = sqrt(chi2inv(.95,3)))."""
+    w, v = np.linalg.eigh(np.asarray(cov))
+    w = np.maximum(w, 0.0)
+    radii = n_std * np.sqrt(w)
+    u = np.linspace(0, 2 * np.pi, 16)
+    t = np.linspace(0, np.pi, 8)
+    sphere = np.stack(
+        [
+            np.outer(np.cos(u), np.sin(t)),
+            np.outer(np.sin(u), np.sin(t)),
+            np.outer(np.ones_like(u), np.cos(t)),
+        ],
+        axis=-1,
+    )
+    pts = sphere * radii
+    pts = pts @ v.T + np.asarray(xyz)
+    ax.plot_surface(
+        pts[..., 0], pts[..., 1], pts[..., 2], color=color, alpha=alpha,
+        linewidth=0,
+    )
+
+
+class SigmaStats:
+    """Global min/max 3D sigma tracking, printed at shutdown when vis_cov is
+    on (reference :147-148,303-309,1243-1247)."""
+
+    def __init__(self):
+        self.min_eig = np.full(3, np.inf)
+        self.max_eig = np.full(3, -np.inf)
+
+    def update(self, cov: np.ndarray, score: np.ndarray):
+        """cov [P, K, 3, 3], score [P, K]."""
+        mask = np.asarray(score) > 0
+        if not mask.any():
+            return
+        eigs = np.linalg.eigvalsh(np.asarray(cov)[mask])  # [M, 3] ascending
+        self.min_eig = np.minimum(self.min_eig, eigs.min(axis=0))
+        self.max_eig = np.maximum(self.max_eig, eigs.max(axis=0))
+
+    def report(self) -> str:
+        if not np.isfinite(self.min_eig).all():
+            return "Sigmas 3D: no valid joints observed"
+        mn = np.sqrt(self.min_eig) * 1e3
+        mx = np.sqrt(self.max_eig) * 1e3
+        return (
+            "Sigmas 3D [mm]:\n"
+            f"min: x: {mn[0]:.2f}mm, y: {mn[1]:.2f}mm, z: {mn[2]:.2f}mm.\n"
+            f"max: x: {mx[0]:.2f}mm, y: {mx[1]:.2f}mm, z: {mx[2]:.2f}mm."
+        )
+
+
 def render_frame_summary(
     out,
     rig,

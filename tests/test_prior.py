@@ -144,16 +144,29 @@ def test_marginals_match_inverse_hessian(rng):
     persons = pack_persons([make_person(rng)])
     g_in = prior.build_graph_inputs(persons, cfg)
     result = prior.optimize(g_in, g_in.meas, cfg)
-    # Finite-difference the Hessian? Cheaper: marginals must be symmetric
-    # PSD and, for a decoupled unmeasured joint, exactly identity.
+    assert bool(result.marg_ok[0]), "marginals must not fall back"
     marg = np.asarray(result.marg_cov)[0]
     active = np.asarray(g_in.active)[0]
+    # Dense reference: assemble the full Hessian at the solution and invert.
+    bi, bj, blen, bsig = skeleton.bone_tables(False, 1.0)
+    import jax.numpy as jnp2
+
+    h, _, _ = prior._linearize(
+        result.x,
+        g_in,
+        jnp2.asarray(blen),
+        jnp2.asarray(1.0 / bsig**2),
+        jnp2.asarray(bi),
+        jnp2.asarray(bj),
+    )
+    h_dense = np.asarray(h)[0].reshape(3 * K, 3 * K)
+    h_inv = np.linalg.inv(h_dense)
     for j in range(K):
         np.testing.assert_allclose(marg[j], marg[j].T, atol=1e-10)
+        want = h_inv[3 * j : 3 * j + 3, 3 * j : 3 * j + 3]
+        np.testing.assert_allclose(marg[j], want, rtol=1e-5, atol=1e-10)
         if not active[j]:
             np.testing.assert_allclose(marg[j], np.eye(3), atol=1e-8)
-        else:
-            assert np.all(np.linalg.eigvalsh(marg[j]) > 0)
 
 
 def test_denormalize_and_output_scores(rng):
