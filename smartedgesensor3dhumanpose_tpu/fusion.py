@@ -97,6 +97,7 @@ def _associate_camera(
     det_ok: jnp.ndarray,
     F_to_cam: jnp.ndarray,
     config: FusionConfig,
+    cam_limit: int | None = None,
 ) -> HypothesisSet:
     """One greedy-association step: fold camera `cam_idx`'s detections into
     the hypothesis set (reference :588-674).
@@ -104,16 +105,22 @@ def _associate_camera(
     When no hypothesis exists yet every valid detection seeds one — which
     reproduces the reference's 'first camera with usable detections seeds the
     set' rule (:566-586) without a special case.
+
+    cam_limit: static upper bound on cameras that can already be in the
+    hypothesis set (cameras are folded in index order, so at step c only
+    cameras < c contribute). Slicing the cost computation to that prefix
+    halves the association's tensor work when the camera loop is unrolled.
     """
     h, d = hyps.kp.shape[0], det_kp.shape[0]
+    lim = hyps.kp.shape[1] if cam_limit is None else max(cam_limit, 1)
 
     cost, veto = epipolar.association_cost(
-        hyps.kp,
-        hyps.cam_mask,
-        hyps.obs_score,
+        hyps.kp[:, :lim],
+        hyps.cam_mask[:, :lim],
+        hyps.obs_score[:, :lim],
         det_kp,
         det_ok,
-        F_to_cam,
+        F_to_cam[:lim],
         config.min_kp_score,
         config.max_epipolar_error,
         config.max_cost,
@@ -220,6 +227,7 @@ def associate(
     det_ok: jnp.ndarray,
     rig: CameraRig,
     config: FusionConfig,
+    unroll_cameras: bool = False,
 ) -> HypothesisSet:
     """Greedy cross-view association over all cameras.
 
@@ -237,6 +245,25 @@ def associate(
     hyps0 = _empty_hypotheses(config.max_hypotheses, c, j, kp_n.dtype)
     # F_to_cam[c] = F[:, c]: fundamental matrices from every camera into c.
     f_to_cam = jnp.swapaxes(rig.F, 0, 1)
+
+    if unroll_cameras:
+        # Fully unrolled camera loop: step c statically knows only cameras
+        # < c can be in the hypothesis set, so the epipolar cost tensors
+        # shrink to a growing prefix (half the work of the uniform scan).
+        hyps = hyps0
+        for ci in range(c):
+            hyps = _associate_camera(
+                hyps,
+                jnp.int32(ci),
+                kp_n[ci],
+                cov_n[ci],
+                det_score[ci],
+                det_ok[ci],
+                f_to_cam[ci],
+                config,
+                cam_limit=ci,
+            )
+        return hyps
 
     def step(hyps, xs):
         cam_idx, det_kp, det_cov, d_score, d_ok, f_c = xs
@@ -593,7 +620,12 @@ def merge_close_persons(persons: Persons3D, config: FusionConfig) -> Persons3D:
     return persons._replace(xyz=xyz, score=score, cov=cov, valid=valid)
 
 
-def fuse_frame(frame: Frame, rig: CameraRig, config: FusionConfig) -> Persons3D:
+def fuse_frame(
+    frame: Frame,
+    rig: CameraRig,
+    config: FusionConfig,
+    unroll_cameras: bool = False,
+) -> Persons3D:
     """Full fusion of one synchronized frame: normalize -> associate ->
     triangulate -> gate -> merge (the whole skeleton_3d node per-frame
     path)."""
@@ -605,7 +637,10 @@ def fuse_frame(frame: Frame, rig: CameraRig, config: FusionConfig) -> Persons3D:
     enough = jnp.sum(kp_ok, axis=-1) > (config.num_input_joints // 2)
     det_ok = frame.det_valid & enough
 
-    hyps = associate(kp_n, cov_n, frame.det_score, det_ok, rig, config)
+    hyps = associate(
+        kp_n, cov_n, frame.det_score, det_ok, rig, config,
+        unroll_cameras=unroll_cameras,
+    )
     # Hypotheses need >= 2 observations to triangulate (:684).
     persons = triangulate_hypotheses(hyps, rig, config)
     active = jnp.arange(persons.valid.shape[0]) < hyps.n_hyp

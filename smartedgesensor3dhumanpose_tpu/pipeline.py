@@ -159,7 +159,12 @@ class Pipeline:
 
         def fuse_one(frame):
             frame, pivot = mask_stale_cameras(frame, fusion_cfg.max_sync_diff)
-            return fusion.fuse_frame(frame, rig, fusion_cfg), pivot
+            return (
+                fusion.fuse_frame(
+                    frame, rig, fusion_cfg, unroll_cameras=True
+                ),
+                pivot,
+            )
 
         # Chunked batching: full vmap over a long sequence materializes the
         # sigma-point/leave-one-out intermediates for every frame at once
