@@ -69,3 +69,45 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_driver_env():
+    """The entry point must be self-sufficient WITHOUT conftest's env.
+
+    Mimics the driver environment (round-1 failure mode): a parent process
+    whose jax sees exactly ONE device and whose backends are already
+    initialized. dryrun_multichip must self-provision its virtual mesh.
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(sharding.__file__)))
+    )
+    env = dict(os.environ)
+    # One CPU device, like the driver's one axon device; no forced count.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    code = (
+        "import jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"  # driver-like
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('DRIVER-ENV DRYRUN OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRIVER-ENV DRYRUN OK" in proc.stdout
