@@ -102,6 +102,13 @@ class PriorConfig:
     lm_max_iterations: int = 32
     lm_relative_error_tol: float = 1.0e-5
     lm_absolute_error_tol: float = 1.0e-5
+    # Linear solver for the LM normal equations + marginals:
+    #  "tree": level-grouped block elimination along the bone forest
+    #    (ops/tree_solve.py) — identical math, ~6 batched 3x3 levels; avoids
+    #    XLA's 63x63 Cholesky custom call (~8 us PER MATRIX on TPU, the
+    #    single largest cost in the whole pipeline when the LM is batched).
+    #  "dense": equilibrated 63x63 Cholesky (oracle / cross-check path).
+    solver: str = "tree"
 
     @property
     def effective_limb_sigma_factor(self) -> float:

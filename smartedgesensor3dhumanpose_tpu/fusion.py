@@ -564,58 +564,80 @@ def _person_gate(
 
 def merge_close_persons(persons: Persons3D, config: FusionConfig) -> Persons3D:
     """Greedy pairwise merge of skeletons closer than the threshold
-    (:984-996). Sequential by construction (each merge updates person i
-    before later comparisons), so it runs as a fori_loop over the fixed
-    pair list."""
+    (:984-996).
+
+    The reference sweeps all P(P-1)/2 ordered pairs sequentially. Here the
+    sweep is restructured to P-1 sequential steps, one per *victim* slot j
+    in ascending order, each step evaluating every keeper i<j vectorized
+    and merging j into the first close one. This visits exactly the same
+    state the lexicographic pair loop does: when the pair loop evaluates
+    (i, j), keeper i's in-row updates come from pairs (i, j''<j) — already
+    applied at earlier j-steps here — and j's own fate from rows m<i is
+    settled within this j-step before keeper i is considered (the scan
+    picks the FIRST close keeper). Slot j is never modified before it is
+    consumed, because keepers only mutate in their own row (i, j'''>j),
+    which the pair loop orders after (i, j) too. So the outputs are
+    bit-identical while the sequential depth (the compile-time and launch
+    hazard at max_hypotheses=40+) drops from O(P^2) to O(P).
+    """
     p = persons.xyz.shape[0]
     if p < 2:
         return persons
-    pairs = np.array(
-        [(i, jj) for i in range(p) for jj in range(i + 1, p)], dtype=np.int32
-    )
-    pair_i = jnp.asarray(pairs[:, 0])
-    pair_j = jnp.asarray(pairs[:, 1])
+    idx = jnp.arange(p)
 
-    def body(i, jj, state):
+    def step(state, j):
         xyz, score, cov, valid = state
-        both = valid[i] & valid[jj]
+        xj = xyz[j]
+        sj = score[j]
+        cj = cov[j]
         # Mean joint distance over joints valid in both (calc_3D_dist,
-        # :392-408).
-        joint_ok = (score[i] > 0) & (score[jj] > 0)
-        d = jnp.linalg.norm(xyz[i] - xyz[jj], axis=-1)
-        n = jnp.sum(joint_ok)
-        mean_d = jnp.sum(jnp.where(joint_ok, d, 0.0)) / jnp.maximum(n, 1)
-        do_merge = both & (n > 0) & (mean_d < config.merge_dist_thresh)
+        # :392-408), for every candidate keeper i < j at once.
+        joint_ok = (score > 0) & (sj > 0)  # [P, K]
+        d = jnp.linalg.norm(xyz - xj[None], axis=-1)
+        n = jnp.sum(joint_ok, axis=-1)
+        mean_d = jnp.sum(jnp.where(joint_ok, d, 0.0), axis=-1) / jnp.maximum(
+            n, 1
+        )
+        close = (
+            valid
+            & valid[j]
+            & (idx < j)
+            & (n > 0)
+            & (mean_d < config.merge_dist_thresh)
+        )
+        do_merge = jnp.any(close)
+        k = jnp.argmax(close)  # first close keeper (lexicographic order)
 
         # merge_persons (:410-423): score-weighted position, max score,
         # averaged covariance — for every joint where the combined score > 0.
-        si = score[i]
-        sj = score[jj]
+        si = score[k]
         tot = si + sj
         any_score = tot > 0
         w_i = jnp.where(any_score, si / jnp.where(any_score, tot, 1.0), 0.0)
         merged_xyz = jnp.where(
             any_score[:, None],
-            w_i[:, None] * xyz[i] + (1 - w_i)[:, None] * xyz[jj],
-            xyz[i],
+            w_i[:, None] * xyz[k] + (1 - w_i)[:, None] * xj,
+            xyz[k],
         )
         merged_score = jnp.where(any_score, jnp.maximum(si, sj), si)
         merged_cov = jnp.where(
-            any_score[:, None, None], 0.5 * (cov[i] + cov[jj]), cov[i]
+            any_score[:, None, None], 0.5 * (cov[k] + cj), cov[k]
         )
 
-        xyz = xyz.at[i].set(jnp.where(do_merge, merged_xyz, xyz[i]))
-        score = score.at[i].set(jnp.where(do_merge, merged_score, score[i]))
-        cov = cov.at[i].set(jnp.where(do_merge, merged_cov, cov[i]))
-        valid = valid.at[jj].set(jnp.where(do_merge, False, valid[jj]))
-        return xyz, score, cov, valid
+        xyz = xyz.at[k].set(jnp.where(do_merge, merged_xyz, xyz[k]))
+        score = score.at[k].set(jnp.where(do_merge, merged_score, score[k]))
+        cov = cov.at[k].set(jnp.where(do_merge, merged_cov, cov[k]))
+        valid = valid.at[j].set(jnp.where(do_merge, False, valid[j]))
+        return (xyz, score, cov, valid), None
 
-    # Statically unrolled pair sweep: the loop is short (P*(P-1)/2 pairs of
-    # tiny ops) and unrolling removes the per-iteration device-loop dispatch
-    # that dominates fori_loop forms on TPU.
     state = (persons.xyz, persons.score, persons.cov, persons.valid)
-    for i, jj in pairs:
-        state = body(int(i), int(jj), state)
+    if p <= 16:
+        # Short sweeps: unroll (removes loop-carry overhead; program stays
+        # O(P) blocks, not O(P^2)).
+        for j in range(1, p):
+            state, _ = step(state, j)
+    else:
+        state, _ = jax.lax.scan(step, state, jnp.arange(1, p))
     xyz, score, cov, valid = state
     return persons._replace(xyz=xyz, score=score, cov=cov, valid=valid)
 

@@ -54,6 +54,117 @@ def _elimination_order() -> np.ndarray:
 ELIMINATION_ORDER = _elimination_order()
 
 
+def _levels() -> list[np.ndarray]:
+    """Bones grouped by the depth of their child joint, deepest level first.
+
+    All bones in a level have children at the same tree depth and parents one
+    level up, so they can be eliminated SIMULTANEOUSLY (batched 3x3 ops with
+    a scatter-add for sibling bones sharing a parent). The skeleton tree is
+    ~6 levels deep, so the sequential chain shrinks from NUM_BONES steps to
+    ~6 — the difference between launch-bound and compute-bound on TPU.
+    """
+    parents = {}
+    for b in range(_B):
+        parents.setdefault(int(skeleton.BONE_J[b]), []).append(
+            int(skeleton.BONE_I[b])
+        )
+
+    def node_depth(n):
+        if n not in parents:
+            return 0
+        return 1 + max(node_depth(p) for p in parents[n])
+
+    depth_of_bone = [node_depth(int(skeleton.BONE_J[b])) for b in range(_B)]
+    out = []
+    for d in sorted(set(depth_of_bone), reverse=True):
+        out.append(
+            np.array(
+                [b for b in range(_B) if depth_of_bone[b] == d],
+                dtype=np.int32,
+            )
+        )
+    return out
+
+
+LEVELS = _levels()
+
+
+def tree_solve_levels(
+    hdiag: jnp.ndarray,
+    bone_coup: jnp.ndarray,
+    bone_active: jnp.ndarray,
+    rhs: jnp.ndarray,
+    want_sigma: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Level-parallel tree_solve (same contract, identical math).
+
+    Within a level every bone's child is unique up to mutually-exclusive
+    duplicates (the NECK's two alternative parent bones), so child writes are
+    combined with masked scatter-adds; sibling bones accumulate into their
+    shared parent through ordinary scatter-add.
+    """
+    d = hdiag
+    r = rhs
+    act = bone_active
+    k = hdiag.shape[1]
+
+    def coup_at(lvl):
+        on = act[:, lvl]  # [P, L]
+        return jnp.where(on[..., None, None], bone_coup[:, lvl], 0.0), on
+
+    # Forward: eliminate whole levels, deepest first.
+    for lvl in LEVELS:
+        p_idx = jnp.asarray(skeleton.BONE_I[lvl])
+        c_idx = jnp.asarray(skeleton.BONE_J[lvl])
+        c_m, on = coup_at(lvl)  # [P, L, 3, 3]
+        dc_inv = _inv3(d[:, c_idx])
+        cdinv = c_m @ dc_inv
+        d = d.at[:, p_idx].add(-(cdinv @ c_m))
+        r = r.at[:, p_idx].add(
+            -jnp.einsum("plij,plj->pli", cdinv, r[:, c_idx])
+        )
+
+    # Backward: roots, then levels from shallow to deep.
+    d_inv = _inv3(d)
+    x = jnp.einsum("pkij,pkj->pki", d_inv, r)
+    for lvl in LEVELS[::-1]:
+        p_idx = jnp.asarray(skeleton.BONE_I[lvl])
+        c_idx = jnp.asarray(skeleton.BONE_J[lvl])
+        c_m, on = coup_at(lvl)
+        xc = jnp.einsum(
+            "plij,plj->pli",
+            d_inv[:, c_idx],
+            r[:, c_idx] - jnp.einsum("plij,plj->pli", c_m, x[:, p_idx]),
+        )
+        # Duplicate children within a level are mutually exclusive actives:
+        # zero the updated slots, scatter-add the masked values, keep old
+        # values where no bone fired.
+        upd = jnp.zeros_like(x).at[:, c_idx].add(
+            jnp.where(on[..., None], xc, 0.0)
+        )
+        fired = jnp.zeros((x.shape[0], k), bool).at[:, c_idx].max(on)
+        x = jnp.where(fired[..., None], upd, x)
+
+    if not want_sigma:
+        return x, jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), hdiag.shape)
+
+    sigma = d_inv
+    for lvl in LEVELS[::-1]:
+        p_idx = jnp.asarray(skeleton.BONE_I[lvl])
+        c_idx = jnp.asarray(skeleton.BONE_J[lvl])
+        c_m, on = coup_at(lvl)
+        k_m = d_inv[:, c_idx] @ c_m
+        s_c = d_inv[:, c_idx] + k_m @ sigma[:, p_idx] @ jnp.swapaxes(
+            k_m, -1, -2
+        )
+        upd = jnp.zeros_like(sigma).at[:, c_idx].add(
+            jnp.where(on[..., None, None], s_c, 0.0)
+        )
+        fired = jnp.zeros((sigma.shape[0], k), bool).at[:, c_idx].max(on)
+        sigma = jnp.where(fired[..., None, None], upd, sigma)
+    return x, sigma
+
+
 def _inv3(m: jnp.ndarray) -> jnp.ndarray:
     """Batched closed-form 3x3 inverse (adjugate / det) with a guard."""
     c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]

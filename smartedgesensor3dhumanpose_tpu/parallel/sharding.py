@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smartedgesensor3dhumanpose_tpu import fusion, pipeline, reprojection, tracking
+from smartedgesensor3dhumanpose_tpu import types as types_lib
 from smartedgesensor3dhumanpose_tpu.config import PipelineConfig
 from smartedgesensor3dhumanpose_tpu.types import CameraRig, Frame, TrackerState
 
@@ -57,8 +58,11 @@ def _constrain(tree, mesh: Mesh, spec: P):
     def one(a):
         if a.ndim == 0:
             return a
-        # Pad the spec with replication for trailing axes.
-        full = P(*(list(spec) + [None] * (a.ndim - len(spec))))
+        # Truncate the spec to the leaf's rank (low-rank leaves like
+        # per-frame scalars only take the leading axes) and pad the rest
+        # with replication.
+        lead = list(spec)[: a.ndim]
+        full = P(*(lead + [None] * (a.ndim - len(lead))))
         return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, full))
 
     return jax.tree.map(one, tree)
@@ -97,11 +101,20 @@ def run_offline_sharded(
         # Shard frames over `data` and the person axis over `model`.
         persons = _constrain(persons, mesh, P("data", "model"))
 
+        # ---- stage 1b: batched cold-start LM smoothing (the dominant
+        # per-frame compute) — data-parallel over frames, person axis on
+        # `model` (see tracking.smooth_cold / pipeline._scan_impl).
+        pre = jax.vmap(lambda p: tracking.smooth_cold(p, config.prior))(
+            persons
+        )
+        pre = _constrain(pre, mesh, P("data", "model"))
+
         # ---- stage 2: sequential tracking scan (small, replicated).
         persons = _constrain(persons, mesh, P())
+        pre = _constrain(pre, mesh, P())
 
         def track_body(carry, xs):
-            person_t, pivot_t, fb_t = xs
+            person_t, pivot_t, fb_t, pre_t = xs
             carry, out = tracking.step(
                 carry,
                 person_t,
@@ -109,26 +122,34 @@ def run_offline_sharded(
                 fb_t,
                 config.prior,
                 config.tracker,
+                precomputed=pre_t,
             )
             return carry, out
 
         state_out, track_outs = jax.lax.scan(
-            track_body, state, (persons, pivots, frames.fb_delay)
+            track_body, state, (persons, pivots, frames.fb_delay, pre)
         )
 
         # ---- stage 3: data-parallel reprojection feedback.
         pred = _constrain(track_outs.fused_pred, mesh, P("data", "model"))
 
-        def reproj_one(pred_t, delta_t):
+        def reproj_one(pred_t, delta_t, ts_t):
             return reprojection.reproject(
                 pred_t,
                 rig,
                 config.prior.pose_method,
                 delta_t,
                 ut_kappa=config.fusion.ut_kappa,
+                ts_per_cam=ts_t,
             )
 
-        feedback = jax.vmap(reproj_one)(pred, track_outs.pred_delta_t)
+        feedback = jax.vmap(reproj_one)(
+            pred, track_outs.pred_delta_t, frames.cam_stamp
+        )
+        c = frames.cam_stamp.shape[-1]
+        bbox_c, bbox_s = jax.vmap(types_lib.person_bbox3d)(
+            track_outs.fused.xyz, track_outs.fused.score, track_outs.fused.valid
+        )
 
         return state_out, pipeline.StepOutput(
             persons_raw=persons,
@@ -137,6 +158,14 @@ def run_offline_sharded(
             feedback=feedback,
             pred_delta_t=track_outs.pred_delta_t,
             pivot_stamp=pivots,
+            ts_per_cam=frames.cam_stamp,
+            fb_delay_per_cam_raw=frames.fb_delay,
+            fb_delay_per_cam=jnp.broadcast_to(
+                track_outs.pred_delta_t[:, None],
+                (track_outs.pred_delta_t.shape[0], c),
+            ),
+            bbox3d_center=bbox_c,
+            bbox3d_size=bbox_s,
         )
 
     fn = jax.jit(

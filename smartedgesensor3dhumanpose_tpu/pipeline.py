@@ -35,6 +35,7 @@ from smartedgesensor3dhumanpose_tpu.types import (
     Persons3D,
     Reprojection2D,
     TrackerState,
+    person_bbox3d,
 )
 
 
@@ -45,6 +46,18 @@ class StepOutput(NamedTuple):
     feedback: Reprojection2D   # cam_*/skel_pred
     pred_delta_t: jnp.ndarray  # predicted feedback latency
     pivot_stamp: jnp.ndarray   # frame timestamp (newest camera)
+    # PersonCovList header fields (person_msgs/PersonCovList.msg:1-4):
+    # per-camera original stamps echoed on every published list
+    # (skeleton_3d_triang_mult_node.cpp:1062, pose_prior_mult_node.cpp:530)
+    # and the measured / predicted per-camera feedback delays — raw measured
+    # values ride on persons_3d (:1063), the broadcast predicted horizon on
+    # the fused lists (pose_prior_mult_node.cpp:531).
+    ts_per_cam: jnp.ndarray           # [C]
+    fb_delay_per_cam_raw: jnp.ndarray  # [C] measured (persons_3d)
+    fb_delay_per_cam: jnp.ndarray      # [C] predicted (persons3d_fused*)
+    # PersonCov 3D bounding box of the fused persons (PersonCov.msg:7-8).
+    bbox3d_center: jnp.ndarray        # [P, 3]
+    bbox3d_size: jnp.ndarray          # [P, 3]
 
 
 def mask_stale_cameras(frame: Frame, max_sync_diff: float) -> Tuple[Frame, jnp.ndarray]:
@@ -83,8 +96,13 @@ def step(
         config.prior.pose_method,
         track_out.pred_delta_t,
         ut_kappa=config.fusion.ut_kappa,
+        ts_per_cam=frame.cam_stamp,
     )
 
+    c = frame.cam_stamp.shape[0]
+    bbox_c, bbox_s = person_bbox3d(
+        track_out.fused.xyz, track_out.fused.score, track_out.fused.valid
+    )
     return state, StepOutput(
         persons_raw=persons_raw,
         fused=track_out.fused,
@@ -92,6 +110,11 @@ def step(
         feedback=feedback,
         pred_delta_t=track_out.pred_delta_t,
         pivot_stamp=pivot,
+        ts_per_cam=frame.cam_stamp,
+        fb_delay_per_cam_raw=frame.fb_delay,
+        fb_delay_per_cam=jnp.broadcast_to(track_out.pred_delta_t, (c,)),
+        bbox3d_center=bbox_c,
+        bbox3d_size=bbox_s,
     )
 
 
@@ -174,8 +197,18 @@ class Pipeline:
             fuse_one, frames, batch_size=self._fusion_batch
         )
 
+        # The LM smoothing stage is frame-independent under a cold start
+        # (see tracking.smooth_cold) — batch it over the whole sequence so
+        # the sequential scan below carries only the cheap association /
+        # velocity / gating ops.
+        pre = jax.lax.map(
+            lambda p: tracking.smooth_cold(p, config.prior),
+            persons,
+            batch_size=self._fusion_batch,
+        )
+
         def track_body(carry, xs):
-            person_t, pivot_t, fb_t = xs
+            person_t, pivot_t, fb_t, pre_t = xs
             carry, out = tracking.step(
                 carry,
                 person_t,
@@ -183,24 +216,30 @@ class Pipeline:
                 fb_t,
                 config.prior,
                 config.tracker,
+                precomputed=pre_t,
             )
             return carry, out
 
         state, track_outs = jax.lax.scan(
-            track_body, state, (persons, pivots, frames.fb_delay)
+            track_body, state, (persons, pivots, frames.fb_delay, pre)
         )
 
-        def reproj_one(pred_t, delta_t):
+        def reproj_one(pred_t, delta_t, ts_t):
             return reprojection.reproject(
                 pred_t,
                 rig,
                 config.prior.pose_method,
                 delta_t,
                 ut_kappa=config.fusion.ut_kappa,
+                ts_per_cam=ts_t,
             )
 
         feedback = jax.vmap(reproj_one)(
-            track_outs.fused_pred, track_outs.pred_delta_t
+            track_outs.fused_pred, track_outs.pred_delta_t, frames.cam_stamp
+        )
+        c = frames.cam_stamp.shape[-1]
+        bbox_c, bbox_s = jax.vmap(person_bbox3d)(
+            track_outs.fused.xyz, track_outs.fused.score, track_outs.fused.valid
         )
         return state, StepOutput(
             persons_raw=persons,
@@ -209,6 +248,14 @@ class Pipeline:
             feedback=feedback,
             pred_delta_t=track_outs.pred_delta_t,
             pivot_stamp=pivots,
+            ts_per_cam=frames.cam_stamp,
+            fb_delay_per_cam_raw=frames.fb_delay,
+            fb_delay_per_cam=jnp.broadcast_to(
+                track_outs.pred_delta_t[:, None],
+                (track_outs.pred_delta_t.shape[0], c),
+            ),
+            bbox3d_center=bbox_c,
+            bbox3d_size=bbox_s,
         )
 
     def run_offline(self, state: TrackerState, frames: Frame):

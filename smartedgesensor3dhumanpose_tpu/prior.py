@@ -31,10 +31,23 @@ import numpy as np
 
 from smartedgesensor3dhumanpose_tpu import skeleton
 from smartedgesensor3dhumanpose_tpu.config import PriorConfig
-from smartedgesensor3dhumanpose_tpu.ops import linalg
+from smartedgesensor3dhumanpose_tpu.ops import linalg, tree_solve
 from smartedgesensor3dhumanpose_tpu.types import Persons3D
 
 _K = skeleton.NUM_FUSION_JOINTS
+
+
+def _spd_solve(h_eq: jnp.ndarray, rhs: jnp.ndarray):
+    """Batched SPD solve of the equilibrated system; rhs [P, N, R].
+
+    XLA's cholesky/triangular-solve custom calls win at this size: a
+    hand-written single-kernel Pallas VMEM factor+solve was measured at
+    4264 us/frame vs 1691 us/frame for this path in the tracker scan
+    (64 sequential masked-tile elimination steps cannot beat the blocked
+    custom call), so it was removed.
+    """
+    chol = jax.scipy.linalg.cholesky(h_eq, lower=True)
+    return jax.scipy.linalg.cho_solve((chol, True), rhs)
 
 
 class GraphInputs(NamedTuple):
@@ -303,6 +316,59 @@ def _error_only(
     return err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
 
 
+def _linearize_tree(
+    x: jnp.ndarray,
+    g_in: GraphInputs,
+    bone_len: jnp.ndarray,
+    bone_w: jnp.ndarray,
+    bi: jnp.ndarray,
+    bj: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble the SAME normal equations as `_linearize` but in
+    tree-factored form: diagonal 3x3 blocks + one symmetric coupling block
+    per bone (H[bi, bj] = -w u u^T), skipping the dense [P, 63, 63]
+    materialization entirely.
+
+    Returns (hdiag [P, K, 3, 3] — undamped, coup [P, B, 3, 3], g [P, K, 3],
+    err [P]).
+    """
+    dtype = x.dtype
+
+    r_u = x - g_in.meas
+    w_r = linalg.heinsum("pkij,pkj->pki", g_in.inv_cov, r_u)
+    act = g_in.active.astype(dtype)
+    err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
+    g = act[..., None] * w_r
+    hdiag = g_in.inv_cov  # unmeasured joints keep their unit anchors
+
+    d = x[:, bi] - x[:, bj]
+    n = jnp.linalg.norm(d, axis=-1)
+    safe = n > 1e-12
+    u = d / jnp.where(safe, n, 1.0)[..., None]
+    r_b = jnp.where(safe, n, 0.0) - bone_len
+    wb = g_in.bone_active.astype(dtype) * bone_w
+    err = err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
+
+    # Signed / unsigned incidence (static): scatter-free MXU contractions.
+    b_cnt = bi.shape[0]
+    inc = (
+        jnp.zeros((b_cnt, _K), dtype)
+        .at[jnp.arange(b_cnt), bi]
+        .add(1.0)
+        .at[jnp.arange(b_cnt), bj]
+        .add(-1.0)
+    )
+    inc2 = jnp.abs(inc)
+
+    g_b = (wb * r_b)[..., None] * u  # [P, B, 3]
+    g = g + linalg.heinsum("bk,pbi->pki", inc, g_b)
+
+    uu = wb[..., None, None] * u[..., :, None] * u[..., None, :]  # [P,B,3,3]
+    hdiag = hdiag + linalg.heinsum("bk,pbij->pkij", inc2, uu)
+    coup = -uu
+    return hdiag, coup, g, err
+
+
 class PriorResult(NamedTuple):
     x: jnp.ndarray          # [P, K, 3] optimized normalized joints
     marg_cov: jnp.ndarray   # [P, K, 3, 3] marginal covariances (normalized)
@@ -336,9 +402,10 @@ def optimize(
     done0 = g_in.num_meas == 0
 
     eye = jnp.eye(3 * _K, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    use_tree = cfg.solver == "tree"
 
-    def lm_step(state):
-        x, lam, err, done, it = state
+    def _solve_dense(x, lam):
         h, g, _ = _linearize(x, g_in, bone_len, bone_w, bi, bj)
         h2 = h.reshape(p, 3 * _K, 3 * _K)
         g2 = g.reshape(p, 3 * _K)
@@ -353,11 +420,27 @@ def optimize(
         h_eq = damped * sc[:, :, None] * sc[:, None, :]
         # SPD system: Cholesky is ~2x cheaper than LU on TPU and never
         # pivots (static schedule).
-        chol = jax.scipy.linalg.cholesky(h_eq, lower=True)
-        delta = sc * jax.scipy.linalg.cho_solve(
-            (chol, True), (-g2 * sc)[..., None]
-        )[..., 0]
-        delta = delta.reshape(p, _K, 3)
+        delta = sc * _spd_solve(h_eq, (-g2 * sc)[..., None])[..., 0]
+        return delta.reshape(p, _K, 3)
+
+    def _solve_tree(x, lam):
+        # The bone graph is a forest (skeleton.SPINE_BONE_IDX gating), so
+        # the normal equations factor along the tree: ~6 sequential levels
+        # of batched 3x3 block ops instead of XLA's 63x63 Cholesky custom
+        # call (which costs ~8 us PER MATRIX regardless of batch — the
+        # dominant cost of the whole pipeline before this path existed).
+        hdiag, coup, g, _ = _linearize_tree(
+            x, g_in, bone_len, bone_w, bi, bj
+        )
+        damped = hdiag + lam[:, None, None, None] * eye3
+        delta, _ = tree_solve.tree_solve_levels(
+            damped, coup, g_in.bone_active, -g
+        )
+        return delta
+
+    def lm_step(state):
+        x, lam, err, done, it = state
+        delta = _solve_tree(x, lam) if use_tree else _solve_dense(x, lam)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         x_new = x + delta
         err_new = _error_only(x_new, g_in, bone_len, bone_w, bi, bj)
@@ -395,26 +478,48 @@ def optimize(
 
     # Marginals: diagonal 3x3 blocks of the inverse undamped Hessian
     # (:760-767); non-finite -> default sigma fallback.
-    h, _, _ = _linearize(x, g_in, bone_len, bone_w, bi, bj)
-    h2 = h.reshape(p, 3 * _K, 3 * _K)
-    # Equilibrated inverse (see lm_step): H^-1 = S (S H S)^-1 S.
-    sc = 1.0 / jnp.sqrt(
-        jnp.maximum(jnp.diagonal(h2, axis1=-2, axis2=-1), 1e-30)
-    )
-    h_eq = h2 * sc[:, :, None] * sc[:, None, :]
-    chol = jax.scipy.linalg.cholesky(h_eq, lower=True)
-    inv_eq = jax.scipy.linalg.cho_solve(
-        (chol, True),
-        jnp.broadcast_to(jnp.eye(3 * _K, dtype=dtype), h_eq.shape),
-    )
-    cov_full = inv_eq * sc[:, :, None] * sc[:, None, :]
-    marg_ok = jnp.all(jnp.isfinite(cov_full.reshape(p, -1)), axis=-1) & ~bad
-    cov_full = jnp.where(
-        marg_ok[:, None, None], cov_full, jnp.eye(3 * _K, dtype=dtype)
-    )
-    blocks = cov_full.reshape(p, _K, 3, _K, 3)
-    k_idx = jnp.arange(_K)
-    marg = jnp.swapaxes(blocks[:, k_idx, :, k_idx, :], 0, 1)  # [P, K, 3, 3]
+    if use_tree:
+        # Sparse-inverse recursion along the bone tree yields exactly the
+        # diagonal blocks of H^-1 — no 63-RHS dense inverse needed.
+        hdiag_f, coup_f, _, _ = _linearize_tree(
+            x, g_in, bone_len, bone_w, bi, bj
+        )
+        _, marg = tree_solve.tree_solve_levels(
+            hdiag_f,
+            coup_f,
+            g_in.bone_active,
+            jnp.zeros_like(x),
+            want_sigma=True,
+        )
+        marg_ok = (
+            jnp.all(jnp.isfinite(marg.reshape(p, -1)), axis=-1) & ~bad
+        )
+        marg = jnp.where(
+            marg_ok[:, None, None, None],
+            marg,
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), marg.shape),
+        )
+    else:
+        h, _, _ = _linearize(x, g_in, bone_len, bone_w, bi, bj)
+        h2 = h.reshape(p, 3 * _K, 3 * _K)
+        # Equilibrated inverse (see _solve_dense): H^-1 = S (S H S)^-1 S.
+        sc = 1.0 / jnp.sqrt(
+            jnp.maximum(jnp.diagonal(h2, axis1=-2, axis2=-1), 1e-30)
+        )
+        h_eq = h2 * sc[:, :, None] * sc[:, None, :]
+        inv_eq = _spd_solve(
+            h_eq, jnp.broadcast_to(jnp.eye(3 * _K, dtype=dtype), h_eq.shape)
+        )
+        cov_full = inv_eq * sc[:, :, None] * sc[:, None, :]
+        marg_ok = (
+            jnp.all(jnp.isfinite(cov_full.reshape(p, -1)), axis=-1) & ~bad
+        )
+        cov_full = jnp.where(
+            marg_ok[:, None, None], cov_full, jnp.eye(3 * _K, dtype=dtype)
+        )
+        blocks = cov_full.reshape(p, _K, 3, _K, 3)
+        k_idx = jnp.arange(_K)
+        marg = jnp.swapaxes(blocks[:, k_idx, :, k_idx, :], 0, 1)
     return PriorResult(x=x, marg_cov=marg, marg_ok=marg_ok, iters=iters)
 
 

@@ -23,6 +23,7 @@ def reproject(
     pose_method: str,
     pred_delta_t: jnp.ndarray,
     ut_kappa: float = 0.5,
+    ts_per_cam: jnp.ndarray | None = None,
 ) -> Reprojection2D:
     """Project predicted skeletons (with covariance) into all cameras.
 
@@ -32,6 +33,9 @@ def reproject(
       pose_method: which 17-joint layout the sensors expect.
       pred_delta_t: [] predicted feedback latency carried back per camera
         (the reference copies fb_delay_per_cam, :159).
+      ts_per_cam: [C] original per-camera frame stamps, echoed back on each
+        camera's feedback message (header.stamp = ts_per_cam[i], :157-158);
+        zeros when not provided.
 
     Returns:
       Reprojection2D with [C, P, J] layouts.
@@ -97,4 +101,9 @@ def reproject(
         bbox=bbox,
         valid=person_valid,
         fb_delay=jnp.full((c,), 1.0, dtype) * pred_delta_t,
+        orig_stamp=(
+            jnp.zeros((c,), dtype)
+            if ts_per_cam is None
+            else jnp.asarray(ts_per_cam, dtype)
+        ),
     )

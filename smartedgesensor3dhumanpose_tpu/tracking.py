@@ -66,6 +66,30 @@ def _association_cost(
     return cost
 
 
+def smooth_cold(persons: Persons3D, prior_cfg: PriorConfig):
+    """Frame-independent LM smoothing, cold-started from the measurements.
+
+    The online path warm-starts the LM from the matched track's previous
+    estimate (setInitialState, reference pose_prior_mult_node.cpp:483-503),
+    which ties the optimization into the sequential per-frame scan. A
+    converged LM reaches the same optimum from either start (the unary
+    anchors dominate; verified to sub-0.1 mm in
+    tests/test_pipeline.py::test_offline_cold_start_matches_online), so the
+    offline throughput mode hoists this whole stage OUT of the scan and
+    batches it over all frames — the dominant per-frame cost (4-6 LM
+    iterations of 63x63 solves) runs as one big MXU-friendly batch instead
+    of 256 sequential launches.
+
+    Returns the `precomputed` tuple accepted by `step`.
+    """
+    g_in = prior.build_graph_inputs(persons, prior_cfg)
+    result = prior.optimize(g_in, g_in.meas, prior_cfg)
+    xyz_out, cov_out = prior.denormalize(result, g_in, prior_cfg)
+    xyz_out = jnp.where(g_in.active[..., None], xyz_out, 0.0)
+    cov_out = jnp.where(g_in.active[..., None, None], cov_out, 0.0)
+    return g_in, result, xyz_out, cov_out
+
+
 def step(
     state: TrackerState,
     persons: Persons3D,
@@ -73,10 +97,13 @@ def step(
     fb_delay: jnp.ndarray,
     prior_cfg: PriorConfig,
     cfg: TrackerConfig,
+    precomputed=None,
 ) -> Tuple[TrackerState, TrackStepOutput]:
     """One tracker frame. `persons` is the fusion stage output; `t` the
     frame (pivot) timestamp; `fb_delay` [C] the per-camera measured feedback
-    delays (-1 where unmeasured)."""
+    delays (-1 where unmeasured). `precomputed` optionally supplies the
+    output of `smooth_cold` for this frame (offline mode); when None the LM
+    runs here with the reference's track warm start."""
     dtype = persons.xyz.dtype
     p = persons.xyz.shape[0]
     t_slots = state.alive.shape[0]
@@ -142,7 +169,10 @@ def step(
     )
 
     # ---- per-person graph + LM smoothing (prior.py)
-    g_in = prior.build_graph_inputs(persons, prior_cfg)
+    if precomputed is None:
+        g_in = prior.build_graph_inputs(persons, prior_cfg)
+    else:
+        g_in = precomputed[0]
     participates = has_track & (g_in.num_meas > 0)  # (:739-741)
 
     # Gather per-person previous track state (garbage where no track; masked).
@@ -157,12 +187,15 @@ def step(
     root_prev_p = jnp.where(uninit[:, None], g_in.root_xyz, root_prev_p)
 
     use_velocity = g_in.active & prev_exists_p  # (:500)
-    warm = jnp.where(use_velocity[..., None], prev_est_p, g_in.meas)
 
-    result = prior.optimize(g_in, warm, prior_cfg)
-    xyz_out, cov_out = prior.denormalize(result, g_in, prior_cfg)
-    xyz_out = jnp.where(g_in.active[..., None], xyz_out, 0.0)
-    cov_out = jnp.where(g_in.active[..., None, None], cov_out, 0.0)
+    if precomputed is None:
+        warm = jnp.where(use_velocity[..., None], prev_est_p, g_in.meas)
+        result = prior.optimize(g_in, warm, prior_cfg)
+        xyz_out, cov_out = prior.denormalize(result, g_in, prior_cfg)
+        xyz_out = jnp.where(g_in.active[..., None], xyz_out, 0.0)
+        cov_out = jnp.where(g_in.active[..., None, None], cov_out, 0.0)
+    else:
+        _, result, xyz_out, cov_out = precomputed
 
     # ---- velocity buffers + prediction (:818-831)
     dt_glob = jnp.maximum(t - state.t_prev_global, 1e-6)
@@ -265,33 +298,45 @@ def _merge_tracks(
     t_slots = alive.shape[0]
     if t_slots < 2:
         return alive, fused, fused_pred
-    pairs = np.array(
-        [(i, j) for i in range(t_slots) for j in range(i + 1, t_slots)],
-        dtype=np.int32,
-    )
-    pair_i = jnp.asarray(pairs[:, 0])
-    pair_j = jnp.asarray(pairs[:, 1])
 
     world = est * height_prev[:, None, None] + root_prev[:, None, :]
+    idx = jnp.arange(t_slots)
 
-    def body(i, j, carry):
+    # Victim-major sweep, P-1 sequential steps instead of P(P-1)/2 pairs —
+    # exactly equivalent to the reference's lexicographic pair loop (track
+    # positions are static during the sweep; only `alive` flips, and a
+    # keeper that kills j must itself have survived rows < i, which are
+    # settled at earlier j-steps). See fusion.merge_close_persons for the
+    # ordering argument.
+    def step(carry, j):
         alive, fid, pid = carry
-        both = alive[i] & alive[j]
-        ok = est_exists[i] & est_exists[j]
-        d = jnp.linalg.norm(world[i] - world[j], axis=-1)
-        n = jnp.sum(ok)
-        mean_d = jnp.sum(jnp.where(ok, d, 0.0)) / jnp.maximum(n, 1)
-        merge = both & has_dets & (n > 0) & (mean_d < cfg.merge_dist_thresh)
+        ok = est_exists & est_exists[j]  # [T, K]
+        d = jnp.linalg.norm(world - world[j][None], axis=-1)
+        n = jnp.sum(ok, axis=-1)
+        mean_d = jnp.sum(jnp.where(ok, d, 0.0), axis=-1) / jnp.maximum(n, 1)
+        close = (
+            alive
+            & alive[j]
+            & (idx < j)
+            & has_dets
+            & (n > 0)
+            & (mean_d < cfg.merge_dist_thresh)
+        )
+        merge = jnp.any(close)
+        keeper = jnp.argmax(close)
         alive = alive.at[j].set(jnp.where(merge, False, alive[j]))
         removed_id = track_id[j]
-        keeper_id = track_id[i]
+        keeper_id = track_id[keeper]
         fid = jnp.where(merge & (fid == removed_id), keeper_id, fid)
         pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
-        return alive, fid, pid
+        return (alive, fid, pid), None
 
     carry = (alive, fused.person_id, fused_pred.person_id)
-    for i, j in pairs:  # statically unrolled (see fusion.merge_close_persons)
-        carry = body(int(i), int(j), carry)
+    if t_slots <= 16:
+        for j in range(1, t_slots):
+            carry, _ = step(carry, j)
+    else:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, t_slots))
     alive, fid, pid = carry
     return (
         alive,

@@ -94,6 +94,30 @@ class Reprojection2D(NamedTuple):
     bbox: jnp.ndarray      # [C, P, 4] (x0, y0, x1, y1)
     valid: jnp.ndarray     # [C, P] bool: >=1 joint lands in this camera
     fb_delay: jnp.ndarray  # [C] predicted latency carried back to the sensors
+    # Each camera's ORIGINAL frame stamp, echoed back on its feedback message
+    # (header.stamp = ts_per_cam[i], skeleton_reproj_mult_node.cpp:157-158);
+    # the sensors measure fb_delay = now - orig_stamp from this echo.
+    orig_stamp: jnp.ndarray  # [C]
+
+
+def person_bbox3d(
+    xyz: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Axis-aligned 3D bounding box per person (PersonCov.msg bbox_center /
+    bbox_size; declared in the wire type at person_msgs/PersonCov.msg:7-8 —
+    the reference nodes leave it zero, here it is populated from the valid
+    joints).
+
+    Returns (center [P, 3], size [P, 3]); zeros for empty persons.
+    """
+    ok = (score > 0) & valid[:, None]  # [P, K]
+    big = jnp.asarray(1e9, xyz.dtype)
+    lo = jnp.min(jnp.where(ok[..., None], xyz, big), axis=1)
+    hi = jnp.max(jnp.where(ok[..., None], xyz, -big), axis=1)
+    any_ok = jnp.any(ok, axis=1)[:, None]
+    center = jnp.where(any_ok, 0.5 * (lo + hi), 0.0)
+    size = jnp.where(any_ok, hi - lo, 0.0)
+    return center, size
 
 
 class TrackerState(NamedTuple):

@@ -35,7 +35,12 @@ def test_offline_replay_is_bitwise_deterministic():
 
 
 def test_online_steps_match_offline_scan():
-    """The per-frame jitted step threads state identically to the scan."""
+    """The per-frame jitted step threads state identically to the scan.
+
+    Fusion outputs are bit-identical; the fused skeletons agree to the LM
+    convergence tolerance (the offline scan cold-starts the batched LM, see
+    tracking.smooth_cold and test_pipeline's dedicated equivalence test).
+    """
     scene, cfg, frames = _setup()
     pipe = pipeline.Pipeline(scene["rig"], cfg)
     state = pipe.init_state(dtype=jnp.float64)
@@ -45,10 +50,15 @@ def test_online_steps_match_offline_scan():
     for t in range(6):
         fr = jax.tree.map(lambda a: a[t], frames)
         st, out = pipe.step(st, fr)
+        np.testing.assert_array_equal(
+            np.asarray(out.persons_raw.xyz),
+            np.asarray(offline.persons_raw.xyz[t]),
+            err_msg=f"frame {t}",
+        )
         np.testing.assert_allclose(
             np.asarray(out.fused.xyz),
             np.asarray(offline.fused.xyz[t]),
-            atol=1e-9,
+            atol=1e-3,  # the BASELINE.md parity budget (1 mm)
             err_msg=f"frame {t}",
         )
         np.testing.assert_array_equal(

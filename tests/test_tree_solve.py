@@ -66,6 +66,23 @@ def test_tree_solve_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(sigma), want_s, atol=1e-10)
 
 
+def test_tree_solve_levels_matches_dense(rng):
+    for p in (1, 4, 9):
+        hdiag, coup, act, rhs = random_tree_system(rng, p=p)
+        x, sigma = ts.tree_solve_levels(
+            jnp.asarray(hdiag), jnp.asarray(coup), jnp.asarray(act),
+            jnp.asarray(rhs), want_sigma=True,
+        )
+        want_x, want_s = dense_reference(hdiag, coup, act, rhs)
+        np.testing.assert_allclose(np.asarray(x), want_x, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(sigma), want_s, atol=1e-10)
+
+
+def test_tree_solve_levels_cover_all_bones():
+    got = np.sort(np.concatenate([lvl for lvl in ts.LEVELS]))
+    np.testing.assert_array_equal(got, np.arange(sk.NUM_BONES))
+
+
 def test_tree_solve_pallas_matches_plain(rng):
     hdiag, coup, act, rhs = random_tree_system(rng, p=6)
     args = (
