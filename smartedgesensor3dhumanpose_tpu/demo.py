@@ -68,7 +68,10 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=128)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--online", action="store_true",
-                        help="per-frame stepping instead of the offline scan")
+                        help="latest-wins producer/consumer loop instead of "
+                             "the offline scan")
+    parser.add_argument("--feed-hz", type=float, default=30.0,
+                        help="producer rate for --online (sensor frame rate)")
     parser.add_argument("--jsonl", type=str, default=None,
                         help="replay a recorded JSONL through the native "
                              "approximate-time synchronizer")
@@ -115,21 +118,29 @@ def main(argv=None):
     buckets = timing.TimingBuckets("Pipeline")
 
     if args.online:
-        # Warm up the compile, then step frame by frame (latest-wins online
-        # semantics are the host loop's job; here we just replay in order).
+        # Latest-wins producer/consumer loop (reference worker handoff,
+        # skeleton_3d_triang_mult_node.cpp:999-1025): a producer thread
+        # feeds synchronized frames at --feed-hz into the native LatestSlot;
+        # the consumer drains the newest and steps the device. Backlogged
+        # frames are dropped, keeping output fresh under compute overload.
+        from smartedgesensor3dhumanpose_tpu import online
+
         _, out = pipe.step(state, jax.tree.map(lambda a: a[0], frames))
         jax.block_until_ready(out)
-        st = state
-        out = None
-        for i in range(n):
-            fr = jax.tree.map(lambda a: a[i], frames)
-            t0 = time.perf_counter()
-            st, out = pipe.step(st, fr)
-            jax.block_until_ready(out)
-            n_det = int(np.asarray(out.fused.valid).sum())
-            buckets.add(time.perf_counter() - t0, n_det)
-        final_state = st
-        last = out
+
+        final_state, last, report = online.run_online(
+            pipe.step,
+            state,
+            frames,
+            feed_interval_s=1.0 / args.feed_hz,
+        )
+        for ms in report.step_ms:
+            buckets.add(ms / 1e3, 0)
+        print(
+            f"online: {len(report.processed_handles)}/{report.produced} "
+            f"frames processed, {report.dropped} dropped (latest-wins), "
+            f"p50 step {report.step_ms_p50:.2f} ms"
+        )
         outs = None
     else:
         t0 = time.perf_counter()

@@ -265,6 +265,7 @@ class LatestSlot {
 
   void put(const int64_t* stamps, const uint64_t* handles) {
     std::lock_guard<std::mutex> lock(mu_);
+    if (fresh_) ++dropped_;  // overwriting an untaken frame = backlog drop
     for (uint32_t i = 0; i < n_; ++i) {
       stamps_[i] = stamps[i];
       handles_[i] = handles[i];
@@ -281,12 +282,13 @@ class LatestSlot {
       handles_out[i] = handles_[i];
     }
     fresh_ = false;
+    ++taken_;
     return 1;
   }
 
   uint64_t dropped() {
     std::lock_guard<std::mutex> lock(mu_);
-    return seq_ - taken_;
+    return dropped_;
   }
 
  private:
@@ -297,6 +299,7 @@ class LatestSlot {
   bool fresh_ = false;
   uint64_t seq_ = 0;
   uint64_t taken_ = 0;
+  uint64_t dropped_ = 0;
 };
 
 }  // namespace
@@ -341,6 +344,10 @@ void ses3d_latest_put(void* s, const int64_t* stamps,
 
 int ses3d_latest_take(void* s, int64_t* stamps_out, uint64_t* handles_out) {
   return static_cast<LatestSlot*>(s)->take(stamps_out, handles_out);
+}
+
+uint64_t ses3d_latest_dropped(void* s) {
+  return static_cast<LatestSlot*>(s)->dropped();
 }
 
 }  // extern "C"

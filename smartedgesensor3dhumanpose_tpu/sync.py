@@ -68,6 +68,22 @@ def _load_native():
     ]
     lib.ses3d_sync_ready.restype = ctypes.c_uint32
     lib.ses3d_sync_ready.argtypes = [ctypes.c_void_p]
+    lib.ses3d_latest_create.restype = ctypes.c_void_p
+    lib.ses3d_latest_create.argtypes = [ctypes.c_uint32]
+    lib.ses3d_latest_destroy.argtypes = [ctypes.c_void_p]
+    lib.ses3d_latest_put.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.ses3d_latest_take.restype = ctypes.c_int
+    lib.ses3d_latest_take.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.ses3d_latest_dropped.restype = ctypes.c_uint64
+    lib.ses3d_latest_dropped.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -124,6 +140,79 @@ class NativeApproximateTimeSync:
         ptr = getattr(self, "_ptr", None)
         if lib is not None and ptr:
             lib.ses3d_sync_destroy(ptr)
+
+
+class NativeLatestSlot:
+    """ctypes wrapper over the C++ latest-wins frame slot — the reference's
+    sync-thread -> worker-thread handoff (skeleton_3d_triang_mult_node.cpp:
+    999-1006,1017-1025): the producer overwrites, the consumer takes the
+    newest frame, and backlog frames are dropped (counted)."""
+
+    def __init__(self, num_streams: int):
+        lib = native_lib()
+        if lib is None:
+            raise RuntimeError("native runtime library unavailable")
+        self._lib = lib
+        self._n = num_streams
+        self._ptr = lib.ses3d_latest_create(num_streams)
+        self._stamps = (ctypes.c_int64 * num_streams)()
+        self._handles = (ctypes.c_uint64 * num_streams)()
+
+    def put(self, stamps: Sequence[int], handles: Sequence[int]) -> None:
+        s = (ctypes.c_int64 * self._n)(*stamps)
+        h = (ctypes.c_uint64 * self._n)(*handles)
+        self._lib.ses3d_latest_put(self._ptr, s, h)
+
+    def take(self) -> Optional[Tuple[List[int], List[int]]]:
+        if not self._lib.ses3d_latest_take(
+            self._ptr, self._stamps, self._handles
+        ):
+            return None
+        return list(self._stamps), list(self._handles)
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.ses3d_latest_dropped(self._ptr))
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        ptr = getattr(self, "_ptr", None)
+        if lib is not None and ptr:
+            lib.ses3d_latest_destroy(ptr)
+
+
+class PyLatestSlot:
+    """Pure-Python latest-wins slot (fallback + differential oracle)."""
+
+    def __init__(self, num_streams: int):
+        import threading
+
+        self._n = num_streams
+        self._lock = threading.Lock()
+        self._data: Optional[Tuple[List[int], List[int]]] = None
+        self._dropped = 0
+
+    def put(self, stamps: Sequence[int], handles: Sequence[int]) -> None:
+        with self._lock:
+            if self._data is not None:
+                self._dropped += 1
+            self._data = (list(stamps), list(handles))
+
+    def take(self) -> Optional[Tuple[List[int], List[int]]]:
+        with self._lock:
+            data, self._data = self._data, None
+            return data
+
+    @property
+    def dropped(self) -> int:
+        with self._lock:
+            return self._dropped
+
+
+def make_latest_slot(num_streams: int, prefer_native: bool = True):
+    if prefer_native and native_lib() is not None:
+        return NativeLatestSlot(num_streams)
+    return PyLatestSlot(num_streams)
 
 
 class PyApproximateTimeSync:
