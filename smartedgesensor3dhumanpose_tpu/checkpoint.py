@@ -41,10 +41,15 @@ def load_tracker_state(path: str, dtype=jnp.float32) -> TrackerState:
         return TrackerState(**kwargs)
 
 
-def reset(state: TrackerState) -> TrackerState:
-    """Fresh tracker with the same shapes (reference reset(), :182-189)."""
+def reset(state: TrackerState, avg_delay: float = 0.10) -> TrackerState:
+    """Fresh tracker with the same shapes (reference reset(), :182-189).
+
+    The reference reseeds the feedback-delay buffer with the DEFAULT
+    g_avg_delay, discarding the learned value
+    (pose_prior_mult_node.cpp:186), so `avg_delay` defaults to that
+    constant rather than the buffer mean.
+    """
     t = state.alive.shape[0]
     w = state.fb_delay_buffer.shape[0]
     dtype = state.estimate.dtype
-    avg = float(jnp.mean(state.fb_delay_buffer)) * 0 + 0.10
-    return TrackerState.initial(t, w, avg, dtype=dtype)
+    return TrackerState.initial(t, w, avg_delay, dtype=dtype)
