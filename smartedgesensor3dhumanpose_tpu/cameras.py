@@ -275,6 +275,38 @@ def hall_extrinsics(num_cameras: int = 16) -> np.ndarray:
     return np.stack([invert_transform(t)[:3, :] for t in poses], axis=0)
 
 
+def ring_extrinsics(
+    num_cameras: int,
+    radius: float = 6.0,
+    heights: Tuple[float, ...] = (2.2, 3.2, 4.4),
+    look_at_z: float = 1.0,
+) -> np.ndarray:
+    """Base->cam extrinsics of a synthetic multi-ring hall.
+
+    For scaled configurations beyond the 16 calibrated demo cameras
+    (BASELINE's 64-camera scenario): cameras sit on stacked rings around the
+    capture volume, each looking at a point on the hall axis. Deterministic
+    and well-conditioned (no two cameras share a center).
+    """
+    mats = []
+    for i in range(num_cameras):
+        ring = i % len(heights)
+        n_ring = (num_cameras + len(heights) - 1 - ring) // len(heights)
+        j = i // len(heights)
+        ang = 2.0 * np.pi * j / max(n_ring, 1) + 0.35 * ring
+        c = np.array(
+            [radius * np.cos(ang), radius * np.sin(ang), heights[ring]]
+        )
+        z = np.array([0.0, 0.0, look_at_z]) - c
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        r = np.stack([x, y, z])
+        mats.append(np.hstack([r, (-r @ c)[:, None]]))
+    return np.stack(mats, axis=0)
+
+
 def hall_rig(
     num_cameras: int = 16,
     intrinsics: Tuple[float, float, float, float] = (420.0, 420.0, 320.0, 240.0),
@@ -285,8 +317,15 @@ def hall_rig(
 
     The reference receives intrinsics over CameraInfo topics (not committed to
     the repo); defaults here are nominal 640x480 sensor values and can be
-    overridden per deployment.
+    overridden per deployment. Beyond the 16 calibrated demo cameras the rig
+    extends with the synthetic `ring_extrinsics` layout (the scaled 64-camera
+    configuration).
     """
-    P = hall_extrinsics(num_cameras)
+    if num_cameras <= 16:
+        P = hall_extrinsics(num_cameras)
+    else:
+        P = np.concatenate(
+            [hall_extrinsics(16), ring_extrinsics(num_cameras - 16)], axis=0
+        )
     K = np.tile(np.asarray(intrinsics, dtype=np.float64), (num_cameras, 1))
     return build_rig(P, K, image_size, dtype=dtype)

@@ -647,25 +647,51 @@ def fuse_frame(
     rig: CameraRig,
     config: FusionConfig,
     unroll_cameras: bool = False,
+    sharding_hook=None,
 ) -> Persons3D:
     """Full fusion of one synchronized frame: normalize -> associate ->
     triangulate -> gate -> merge (the whole skeleton_3d node per-frame
-    path)."""
+    path).
+
+    sharding_hook: optional callable (tag, pytree) -> pytree applied at the
+    stage boundaries so a caller can place GSPMD sharding constraints without
+    this module knowing about meshes (see parallel.sharding.fuse_frame_
+    sharded). Tags: "camera_inputs" (leading camera axis), "pre_association"
+    (must replicate — the greedy scan consumes all cameras), "hypotheses"
+    (leading hypothesis axis), "persons" (leading person axis).
+    """
+    hook = sharding_hook if sharding_hook is not None else lambda tag, t: t
+
+    kp2d, cov2d, det_score, det_valid = hook(
+        "camera_inputs",
+        (frame.kp2d, frame.cov2d, frame.det_score, frame.det_valid),
+    )
     kp_n, cov_n, kp_ok = cameras_lib.normalize_keypoints(
-        frame.kp2d, frame.cov2d, rig.K, config.min_kp_score
+        kp2d, cov2d, rig.K, config.min_kp_score
     )
     # A detection participates only with more than half its keypoints valid
     # (:579,599) and a populated slot.
     enough = jnp.sum(kp_ok, axis=-1) > (config.num_input_joints // 2)
-    det_ok = frame.det_valid & enough
+    det_ok = det_valid & enough
+
+    # The association scan folds cameras sequentially into one hypothesis
+    # set: it needs every camera's normalized keypoints — the hook inserts
+    # the all_gather here (small: C x D x J x 3 floats, SURVEY section 2).
+    kp_n, cov_n, det_score, det_ok = hook(
+        "pre_association", (kp_n, cov_n, det_score, det_ok)
+    )
 
     hyps = associate(
-        kp_n, cov_n, frame.det_score, det_ok, rig, config,
+        kp_n, cov_n, det_score, det_ok, rig, config,
         unroll_cameras=unroll_cameras,
     )
+    # The per-hypothesis triangulation/covariance work (the FLOP-heavy part)
+    # distributes over the hypothesis axis.
+    hyps = hook("hypotheses", hyps)
     # Hypotheses need >= 2 observations to triangulate (:684).
     persons = triangulate_hypotheses(hyps, rig, config)
     active = jnp.arange(persons.valid.shape[0]) < hyps.n_hyp
     n_obs = jnp.sum(hyps.cam_mask, axis=-1)
     persons = persons._replace(valid=persons.valid & active & (n_obs >= 2))
+    persons = hook("persons", persons)
     return merge_close_persons(persons, config)

@@ -68,6 +68,40 @@ def _constrain(tree, mesh: Mesh, spec: P):
     return jax.tree.map(one, tree)
 
 
+def fuse_frame_sharded(
+    frame: Frame,
+    rig: CameraRig,
+    config: PipelineConfig,
+    mesh: Mesh,
+    axis: str = "model",
+    unroll_cameras: bool = True,
+):
+    """ONE frame's fusion with WITHIN-frame sharding over a mesh axis.
+
+    This is the scale-out path for the 64-camera x 25-person configuration
+    (SURVEY section 2): the per-camera normalization runs sharded over the
+    camera axis, the normalized keypoints are all_gathered (small) before
+    the sequential greedy association, and the FLOP-heavy per-hypothesis
+    triangulation + unscented covariance runs sharded over the hypothesis
+    axis. XLA inserts the collectives; equivalence and the presence of the
+    all-gather in the compiled HLO are asserted in tests/test_sharding.py.
+    """
+    def hook(tag, tree):
+        if tag in ("camera_inputs", "hypotheses"):
+            return _constrain(tree, mesh, P(axis))
+        # pre_association / persons: the greedy scan and the sequential
+        # merge consume the full set -> replicate (the all_gather point).
+        return _constrain(tree, mesh, P())
+
+    return fusion.fuse_frame(
+        frame,
+        rig,
+        config.fusion,
+        unroll_cameras=unroll_cameras,
+        sharding_hook=hook,
+    )
+
+
 def run_offline_sharded(
     rig: CameraRig,
     config: PipelineConfig,

@@ -65,6 +65,56 @@ def test_sharded_matches_single_device():
         )
 
 
+def test_fuse_frame_sharded_equivalence_and_collectives():
+    """Within-frame sharding (camera axis -> all_gather -> hypothesis axis)
+    must be bit-equivalent to the unsharded fusion AND actually distribute:
+    the compiled HLO must contain an all-gather/all-reduce collective."""
+    from smartedgesensor3dhumanpose_tpu import fusion
+
+    cams, people = 24, 5
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=cams,
+            num_people=people,
+            num_frames=1,
+            pixel_noise=1.0,
+            seed=3,
+        )
+    )
+    cfg = small_config(cams, people)
+    frames = scene_frames(scene, dtype=jnp.float64)
+    frame = jax.tree.map(lambda a: a[0], frames)
+    frame, _ = pipeline.mask_stale_cameras(frame, cfg.fusion.max_sync_diff)
+
+    want = fusion.fuse_frame(frame, scene["rig"], cfg.fusion,
+                             unroll_cameras=True)
+
+    mesh = sharding.make_mesh(8, model=8, data=1)
+    fn = jax.jit(
+        lambda fr: sharding.fuse_frame_sharded(
+            fr, scene["rig"], cfg, mesh, axis="model"
+        )
+    )
+    got = fn(frame)
+    np.testing.assert_array_equal(
+        np.asarray(got.valid), np.asarray(want.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.xyz), np.asarray(want.xyz), atol=1e-12
+    )
+    # Sharded UT reductions reorder float adds (observed <= 3e-10 absolute;
+    # near-zero cross terms make relative bounds meaningless).
+    np.testing.assert_allclose(
+        np.asarray(got.cov), np.asarray(want.cov), rtol=0, atol=1e-9
+    )
+
+    hlo = fn.lower(frame).compile().as_text()
+    assert ("all-gather" in hlo) or ("all-reduce" in hlo), (
+        "sharded fusion compiled without collectives - the constraints are "
+        "not load-bearing"
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
