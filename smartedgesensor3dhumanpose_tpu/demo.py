@@ -75,6 +75,9 @@ def main(argv=None):
     parser.add_argument("--jsonl", type=str, default=None,
                         help="replay a recorded JSONL through the native "
                              "approximate-time synchronizer")
+    parser.add_argument("--live", type=str, default=None,
+                        help="write an animated operator dashboard of the "
+                             "replay (.gif or scrubbable .html)")
     parser.add_argument("--viz", type=str, default=None,
                         help="write a dashboard PNG of the last frame")
     parser.add_argument("--save", type=str, default=None,
@@ -179,6 +182,11 @@ def main(argv=None):
 
         viz.render_frame_summary(last, scene["rig"], args.viz)
         print(f"dashboard written to {args.viz}")
+    if args.live and outs is not None:
+        from smartedgesensor3dhumanpose_tpu import viz
+
+        viz.render_live_dashboard(outs, scene["rig"], args.live)
+        print(f"live dashboard written to {args.live}")
     if args.save and outs is not None:
         np.savez_compressed(
             args.save,

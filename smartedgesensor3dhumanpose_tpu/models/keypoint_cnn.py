@@ -40,6 +40,14 @@ class DetectorConfig:
     nms_radius: int = 12       # heatmap pixels suppressed around a peak
     window: int = 5            # soft-argmax window (odd)
     min_peak_score: float = 0.1
+    # Channels averaged for person seeding (None -> all joints). Compact
+    # root joints (e.g. the COCO hips, (11, 12)) give one clean peak per
+    # person instead of a body-wide blob.
+    seed_joints: Tuple[int, ...] | None = None
+    # Search radius (heatmap cells) for a person's joints around its seed;
+    # None -> nms_radius. Widen it (with a compact seed, e.g. the hips) when
+    # a body extends further than the seed blob.
+    joint_radius: int | None = None
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.bfloat16
 
@@ -115,7 +123,15 @@ def decode_heatmaps(
     yy = jax.lax.broadcasted_iota(jnp.int32, (hh, wh), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (hh, wh), 1)
 
-    person_map = jnp.mean(heatmaps, axis=-1)  # [B, Hh, Wh]
+    if cfg.seed_joints is not None:
+        person_map = jnp.mean(
+            heatmaps[..., jnp.asarray(cfg.seed_joints)], axis=-1
+        )
+    else:
+        person_map = jnp.mean(heatmaps, axis=-1)  # [B, Hh, Wh]
+    joint_radius = (
+        cfg.joint_radius if cfg.joint_radius is not None else cfg.nms_radius
+    )
 
     def find_peaks(pmap):
         def body(carry, _):
@@ -152,10 +168,10 @@ def decode_heatmaps(
     wx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1)
 
     def decode_joint(hm_j, seed_y, seed_x):
-        # The joint's response near the person seed: search a wider box
-        # (2*nms_radius) via masked argmax on the full map.
-        near = (jnp.abs(yy - seed_y) <= cfg.nms_radius) & (
-            jnp.abs(xx - seed_x) <= cfg.nms_radius
+        # The joint's response near the person seed: masked argmax inside a
+        # joint_radius box (a body extends further than the compact seed).
+        near = (jnp.abs(yy - seed_y) <= joint_radius) & (
+            jnp.abs(xx - seed_x) <= joint_radius
         )
         masked = jnp.where(near, hm_j, -1.0)
         idx = jnp.argmax(masked.reshape(-1))

@@ -209,3 +209,81 @@ def render_frame_summary(
     fig.savefig(path, dpi=80)
     plt.close(fig)
     return path
+
+
+def render_live_dashboard(
+    outs,
+    rig,
+    path: str,
+    cameras_to_show: Sequence[int] = (0, 1, 2, 3),
+    fps: int = 10,
+    max_frames: int = 120,
+):
+    """Animated operator dashboard over a whole replay — the live equivalent
+    of the reference's rviz 3D view + rqt camera tiles (pose_hall.rviz:
+    148-167, pose_hall.perspective; C26).
+
+    Args:
+      outs: StepOutput pytree with a leading time axis (pipeline.run_offline
+        output, or stacked per-frame outputs).
+      path: output file; ``.gif`` writes an animated GIF (Pillow),
+        ``.html`` a self-contained scrubbable HTML player (no display
+        needed — both work headless).
+
+    Returns the path written.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    t_total = int(np.asarray(outs.fused.valid).shape[0])
+    t_show = min(t_total, max_frames)
+    n_cams = len(cameras_to_show)
+    size = np.asarray(rig.image_size)
+
+    fig = plt.figure(figsize=(4 * (n_cams + 1), 4))
+    ax3d = fig.add_subplot(1, n_cams + 1, 1, projection="3d")
+    axes2d = [
+        fig.add_subplot(1, n_cams + 1, k + 2) for k in range(n_cams)
+    ]
+
+    fused_xyz = np.asarray(outs.fused.xyz)
+    fused_score = np.asarray(outs.fused.score)
+    fused_valid = np.asarray(outs.fused.valid)
+    fused_id = np.asarray(outs.fused.person_id)
+    fb_kp = np.asarray(outs.feedback.kp2d)
+    fb_ok = np.asarray(outs.feedback.kp_valid)
+    fb_bbox = np.asarray(outs.feedback.bbox)
+
+    def draw(t):
+        ax3d.cla()
+        for p in np.nonzero(fused_valid[t])[0]:
+            draw_skeleton_3d(
+                ax3d, fused_xyz[t, p], fused_score[t, p], int(fused_id[t, p])
+            )
+        ax3d.set_title(f"fused 3D — frame {t}")
+        ax3d.set_xlim(-4, 4)
+        ax3d.set_ylim(-4, 4)
+        ax3d.set_zlim(0, 2.5)
+        for k, c in enumerate(cameras_to_show):
+            ax = axes2d[k]
+            ax.cla()
+            draw_2d_overlay(
+                ax, fb_kp[t, c], fb_ok[t, c], fb_bbox[t, c],
+                image_size=size[c],
+            )
+            ax.set_title(f"cam {c} feedback")
+        return []
+
+    anim = animation.FuncAnimation(
+        fig, draw, frames=t_show, interval=1000 // fps, blit=False
+    )
+    if path.endswith(".html"):
+        with open(path, "w") as f:
+            f.write(anim.to_jshtml(fps=fps, default_mode="loop"))
+    else:
+        anim.save(path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
