@@ -57,74 +57,82 @@ class HypothesisSet(NamedTuple):
     n_hyp: jnp.ndarray     # [] int32 live hypothesis count
 
 
-def _empty_hypotheses(h: int, c: int, j: int, dtype) -> HypothesisSet:
-    kp = jnp.zeros((h, c, j, 3), dtype).at[..., 2].set(-1.0)
-    return HypothesisSet(
-        kp=kp,
-        cov=jnp.zeros((h, c, j, 3), dtype),
-        cam_mask=jnp.zeros((h, c), bool),
-        obs_score=jnp.zeros((h, c), dtype),
-        n_hyp=jnp.zeros((), jnp.int32),
-    )
+class _AssocCarry(NamedTuple):
+    """Association scan state: which detection each hypothesis observes in
+    each camera (the hypothesis' keypoints are gathered once after the scan).
 
+    Mirrors the reference's PersonHypothesis cameraIDs vectors (:153-159);
+    the observation *data* never moves during association.
+    """
 
-def _scatter_dets_into_slots(
-    hyps: HypothesisSet,
-    cam_idx: jnp.ndarray,
-    det_kp: jnp.ndarray,
-    det_cov: jnp.ndarray,
-    det_score: jnp.ndarray,
-    det_to_slot: jnp.ndarray,
-) -> HypothesisSet:
-    """Write detection d of the current camera into hypothesis slot
-    det_to_slot[d] (-1 or >= H slots are dropped)."""
-    h = hyps.kp.shape[0]
-    ok = (det_to_slot >= 0) & (det_to_slot < h)
-    slot = jnp.where(ok, det_to_slot, h)  # out-of-range scatter is dropped
-    kp = hyps.kp.at[slot, cam_idx].set(det_kp, mode="drop")
-    cov = hyps.cov.at[slot, cam_idx].set(det_cov, mode="drop")
-    cam_mask = hyps.cam_mask.at[slot, cam_idx].set(ok, mode="drop")
-    obs_score = hyps.obs_score.at[slot, cam_idx].set(det_score, mode="drop")
-    return hyps._replace(kp=kp, cov=cov, cam_mask=cam_mask, obs_score=obs_score)
+    det_slot: jnp.ndarray  # [H, C] int32, -1 where camera not in hypothesis
+    cam_mask: jnp.ndarray  # [H, C] bool
+    n_hyp: jnp.ndarray     # [] int32 live hypothesis count
 
 
 def _associate_camera(
-    hyps: HypothesisSet,
+    carry: _AssocCarry,
     cam_idx: jnp.ndarray,
-    det_kp: jnp.ndarray,
-    det_cov: jnp.ndarray,
-    det_score: jnp.ndarray,
+    pair_cost_c: jnp.ndarray,
+    pair_usable_c: jnp.ndarray,
+    confident: jnp.ndarray,
     det_ok: jnp.ndarray,
-    F_to_cam: jnp.ndarray,
     config: FusionConfig,
-    cam_limit: int | None = None,
-) -> HypothesisSet:
+) -> _AssocCarry:
     """One greedy-association step: fold camera `cam_idx`'s detections into
     the hypothesis set (reference :588-674).
 
+    The hypothesis x detection cost matrix is assembled from the
+    frame-level precomputed per-observation pair costs
+    (ops.epipolar.pairwise_association_costs) by gathering each hypothesis'
+    observation identities — the sequential step does no epipolar math.
+
     When no hypothesis exists yet every valid detection seeds one — which
-    reproduces the reference's 'first camera with usable detections seeds the
-    set' rule (:566-586) without a special case.
+    reproduces the reference's 'first camera with usable detections seeds
+    the set' rule (:566-586) without a special case.
 
-    cam_limit: static upper bound on cameras that can already be in the
-    hypothesis set (cameras are folded in index order, so at step c only
-    cameras < c contribute). Slicing the cost computation to that prefix
-    halves the association's tensor work when the camera loop is unrolled.
+    Args:
+      pair_cost_c / pair_usable_c: [C, D, D] — per-observation cost /
+        usability of pairing detection (c', d') with the current camera's
+        detection d.
+      confident: [C, D] bool — observation score > 0.5 (veto voting right).
+      det_ok: [D] bool — usable detections of the current camera.
     """
-    h, d = hyps.kp.shape[0], det_kp.shape[0]
-    lim = hyps.kp.shape[1] if cam_limit is None else max(cam_limit, 1)
+    h, c = carry.det_slot.shape
+    d = det_ok.shape[0]
+    dtype = pair_cost_c.dtype
 
-    cost, veto = epipolar.association_cost(
-        hyps.kp[:, :lim],
-        hyps.cam_mask[:, :lim],
-        hyps.obs_score[:, :lim],
-        det_kp,
-        det_ok,
-        F_to_cam[:lim],
-        config.min_kp_score,
-        config.max_epipolar_error,
-        config.max_cost,
-    )
+    # Gather each hypothesis' observations against the current camera's
+    # detections: [H, C, D] costs + usability, [H, C] voting rights.
+    slot = jnp.where(carry.det_slot >= 0, carry.det_slot, 0)
+    cam_r = jnp.arange(c)[None, :]
+    g_cost = pair_cost_c[cam_r, slot]      # [H, C, D]
+    g_usable = pair_usable_c[cam_r, slot]  # [H, C, D]
+    g_conf = confident[cam_r, slot]        # [H, C]
+
+    # Mean per-observation cost over observations sharing joints (:344-366).
+    obs_in_hyp = carry.cam_mask
+    obs_used = obs_in_hyp[:, :, None] & g_usable
+    n_obs_in_hyp = jnp.sum(obs_in_hyp, axis=-1)  # [H]
+    n_obs_used = jnp.sum(obs_used, axis=1)       # [H, D]
+    total = jnp.sum(jnp.where(obs_used, g_cost, 0.0), axis=1)
+    cost = total / jnp.where(n_obs_used > 0, n_obs_used, 1)
+
+    # Veto accumulation (:344-381): only confident observations (or a
+    # single-observation hypothesis) vote; each vote adds 1/n_obs_in_hyp.
+    voting = g_conf[:, :, None] | (n_obs_in_hyp[:, None, None] == 1)
+    vote = obs_used & (g_cost > config.max_epipolar_error) & voting
+    n_obs_f = jnp.maximum(n_obs_in_hyp, 1).astype(dtype)
+    tmp_veto = jnp.sum(vote, axis=1).astype(dtype) / n_obs_f[:, None]
+    tolerance = 1.0 - 1.0 / (2.0 * n_obs_f)
+    veto = tmp_veto > tolerance[:, None]
+
+    unusable = (n_obs_used == 0) | (n_obs_in_hyp[:, None] == 0)
+    cost = jnp.where(unusable, config.max_cost, cost)
+    veto = veto | unusable
+    cost = jnp.where(det_ok[None, :], cost, config.max_cost)
+    veto = veto | ~det_ok[None, :]
+
     mask = ~veto & (cost < config.max_epipolar_error)  # feasible pairings
 
     # Run the assignment solver only when some row or column has more than
@@ -177,29 +185,18 @@ def _associate_camera(
     handled = jnp.zeros((d,), bool).at[det_of_hyp].max(assigned_valid)
     spawn_unhandled = det_ok & ~handled  # [D]
 
-    # Extend: write each hypothesis' assigned detection into (h, cam_idx).
-    ext_kp = det_kp[det_of_hyp]
-    ext_cov = det_cov[det_of_hyp]
-    ext_score = det_score[det_of_hyp]
-    sel = extend[:, None, None]
-    kp = hyps.kp.at[:, cam_idx].set(
-        jnp.where(sel, ext_kp, hyps.kp[:, cam_idx])
+    # Extend: record each hypothesis' assigned detection at (h, cam_idx).
+    det_slot = carry.det_slot.at[:, cam_idx].set(
+        jnp.where(extend, det_of_hyp, carry.det_slot[:, cam_idx])
     )
-    cov = hyps.cov.at[:, cam_idx].set(
-        jnp.where(sel, ext_cov, hyps.cov[:, cam_idx])
+    cam_mask = carry.cam_mask.at[:, cam_idx].set(
+        carry.cam_mask[:, cam_idx] | extend
     )
-    cam_mask = hyps.cam_mask.at[:, cam_idx].set(
-        hyps.cam_mask[:, cam_idx] | extend
-    )
-    obs_score = hyps.obs_score.at[:, cam_idx].set(
-        jnp.where(extend, ext_score, hyps.obs_score[:, cam_idx])
-    )
-    hyps = hyps._replace(kp=kp, cov=cov, cam_mask=cam_mask, obs_score=obs_score)
 
     # Spawn order matches the reference: first the solver-assigned-but-
     # infeasible pairs in hypothesis order (:641-650), then unhandled
     # detections in detection order (:662-673).
-    n0 = hyps.n_hyp
+    n0 = carry.n_hyp
     slot1_of_hyp = n0 + jnp.cumsum(spawn_from_hyp.astype(jnp.int32)) - 1
     n1 = n0 + jnp.sum(spawn_from_hyp.astype(jnp.int32))
     slot2_of_det = n1 + jnp.cumsum(spawn_unhandled.astype(jnp.int32)) - 1
@@ -212,11 +209,17 @@ def _associate_camera(
     )
     det_to_slot = jnp.where(spawn_unhandled, slot2_of_det, det_to_slot)
 
-    hyps = _scatter_dets_into_slots(
-        hyps, cam_idx, det_kp, det_cov, det_score, det_to_slot
+    # Scatter the spawned detections into their new slots (drop overflow).
+    ok = (det_to_slot >= 0) & (det_to_slot < h)
+    tgt = jnp.where(ok, det_to_slot, h)
+    det_slot = det_slot.at[tgt, cam_idx].set(
+        jnp.arange(d, dtype=jnp.int32), mode="drop"
     )
-    return hyps._replace(
-        n_hyp=jnp.minimum(n2, hyps.kp.shape[0]).astype(jnp.int32)
+    cam_mask = cam_mask.at[tgt, cam_idx].set(ok, mode="drop")
+    return _AssocCarry(
+        det_slot=det_slot,
+        cam_mask=cam_mask,
+        n_hyp=jnp.minimum(n2, h).astype(jnp.int32),
     )
 
 
@@ -231,6 +234,13 @@ def associate(
 ) -> HypothesisSet:
     """Greedy cross-view association over all cameras.
 
+    All epipolar math is hoisted out of the sequential camera loop: the
+    per-observation costs between every detection pair are precomputed as
+    one fused kernel (ops.epipolar.pairwise_association_costs), and each
+    step only gathers them by the hypotheses' observation identities. The
+    scan carries [H, C] index/mask arrays; observation data (keypoints,
+    covariances, scores) is gathered once at the end.
+
     Args:
       kp_n: [C, D, J, 3] normalized keypoints (conf -1 where invalid).
       cov_n: [C, D, J, 3] normalized packed covariances.
@@ -242,45 +252,67 @@ def associate(
       HypothesisSet with fixed max_hypotheses slots.
     """
     c, d, j, _ = kp_n.shape
-    hyps0 = _empty_hypotheses(config.max_hypotheses, c, j, kp_n.dtype)
-    # F_to_cam[c] = F[:, c]: fundamental matrices from every camera into c.
-    f_to_cam = jnp.swapaxes(rig.F, 0, 1)
+    h = config.max_hypotheses
+
+    # [C1, D1, C2, D2] per-observation costs; rearranged so the scan over
+    # the current camera c2 slices its [C1, D1, D2] block.
+    pair_cost, pair_usable = epipolar.pairwise_association_costs(
+        kp_n, rig.F, config.min_kp_score
+    )
+    pc = jnp.moveaxis(pair_cost, 2, 0)    # [C2, C1, D1, D2]
+    pu = jnp.moveaxis(pair_usable, 2, 0)
+    confident = det_score > 0.5  # [C, D] veto voting right (:352)
+
+    carry0 = _AssocCarry(
+        det_slot=jnp.full((h, c), -1, jnp.int32),
+        cam_mask=jnp.zeros((h, c), bool),
+        n_hyp=jnp.zeros((), jnp.int32),
+    )
 
     if unroll_cameras:
-        # Fully unrolled camera loop: step c statically knows only cameras
-        # < c can be in the hypothesis set, so the epipolar cost tensors
-        # shrink to a growing prefix (half the work of the uniform scan).
-        hyps = hyps0
+        carry = carry0
         for ci in range(c):
-            hyps = _associate_camera(
-                hyps,
-                jnp.int32(ci),
-                kp_n[ci],
-                cov_n[ci],
-                det_score[ci],
-                det_ok[ci],
-                f_to_cam[ci],
-                config,
-                cam_limit=ci,
+            carry = _associate_camera(
+                carry, jnp.int32(ci), pc[ci], pu[ci], confident,
+                det_ok[ci], config,
             )
-        return hyps
+    else:
+        def step(cy, xs):
+            cam_idx, pc_c, pu_c, d_ok = xs
+            return (
+                _associate_camera(
+                    cy, cam_idx, pc_c, pu_c, confident, d_ok, config
+                ),
+                None,
+            )
 
-    def step(hyps, xs):
-        cam_idx, det_kp, det_cov, d_score, d_ok, f_c = xs
-        return (
-            _associate_camera(
-                hyps, cam_idx, det_kp, det_cov, d_score, d_ok, f_c, config
-            ),
-            None,
+        carry, _ = jax.lax.scan(
+            step,
+            carry0,
+            (jnp.arange(c, dtype=jnp.int32), pc, pu, det_ok),
+            unroll=min(4, c),
         )
 
-    hyps, _ = jax.lax.scan(
-        step,
-        hyps0,
-        (jnp.arange(c, dtype=jnp.int32), kp_n, cov_n, det_score, det_ok, f_to_cam),
-        unroll=min(4, c),
+    # Materialize the hypothesis observations: gather each (h, c) slot's
+    # detection data (the reference pushes copies into PersonHypothesis
+    # vectors as it goes; here it is one gather at the end).
+    slot = jnp.where(carry.det_slot >= 0, carry.det_slot, 0)
+    cam_r = jnp.arange(c)[None, :]
+    on = carry.cam_mask
+    kp = jnp.where(
+        on[..., None, None],
+        kp_n[cam_r, slot],
+        jnp.asarray([0.0, 0.0, -1.0], kp_n.dtype),  # conf -1: unobserved
     )
-    return hyps
+    cov = jnp.where(on[..., None, None], cov_n[cam_r, slot], 0.0)
+    obs_score = jnp.where(on, det_score[cam_r, slot], 0.0)
+    return HypothesisSet(
+        kp=kp,
+        cov=cov,
+        cam_mask=on,
+        obs_score=obs_score,
+        n_hyp=carry.n_hyp,
+    )
 
 
 def _select_outlier_drops(
@@ -387,11 +419,19 @@ def triangulate_hypotheses(
         err0,
     )
 
-    # Final positions: recentered two-pass solve on the final view set for
-    # float32 accuracy (equals the selected base/leave-one-out solution to
-    # within micrometers, see ops.triangulation.triangulate_refined).
-    xyz = triangulation.triangulate_refined(
-        P, kp_hj, final_mask, weight_by_conf=True
+    # Final positions: exactly the solution the reference publishes — the
+    # base DLT, or the selected leave-one-out re-triangulation when a view
+    # was dropped (:792,835). Both are already computed above, so this is a
+    # select, not another solve. (An earlier revision re-solved with origin
+    # recentering here; DLT's algebraic objective is not translation
+    # invariant, so that legitimately lands millimeters away from the
+    # reference's output — see tests/test_reference_parity_frame.py.)
+    xyz = jnp.where(
+        dropped[..., None],
+        jnp.take_along_axis(
+            xyz_loo, drop_idx[..., None, None], axis=-2
+        )[..., 0, :],
+        xyz0,
     )
 
     # Average score over the views used (:738, updated at :789,818-822).

@@ -133,6 +133,89 @@ def association_cost(
     return cost, veto
 
 
+def pairwise_association_costs(
+    kp: jnp.ndarray,
+    F: jnp.ndarray,
+    min_kp_score: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """calcCost's per-observation term for EVERY ordered detection pair.
+
+    The greedy association folds cameras in sequentially, and each step's
+    hypothesis x detection cost is a mean of per-observation costs — where
+    every observation is itself one of the frame's detections. So the
+    per-observation term between detection (c1, d1) and detection (c2, d2)
+    (symmetric epipolar point-line distance averaged over joints confident
+    in both, reference :344-366) can be computed ONCE for the whole frame as
+    a single fused kernel, and the sequential scan reduces to cheap gathers
+    (see fusion.associate). The 3-vector dots are written componentwise so
+    XLA fuses the [C, D, C, D, J] program straight into the joint reduction
+    without materializing it.
+
+    Args:
+      kp: [C, D, J, 3] normalized keypoints (x, y, conf).
+      F: [C, C, 3, 3] fundamental matrices (i -> j).
+      min_kp_score: joint confidence gate (g_triangulation_threshold).
+
+    Returns:
+      (pair_cost [C, D, C, D], pair_usable [C, D, C, D] bool): the
+      per-observation cost of pairing observation (c1, d1) with a candidate
+      detection (c2, d2), and whether they share any confident joint.
+      Entries with c1 == c2 are meaningless (never gathered).
+    """
+    x = kp[..., 0]  # [C, D, J]
+    y = kp[..., 1]
+    conf_ok = kp[..., 2] > min_kp_score
+
+    # Epipolar line of (c1, d1, j) in camera c2: l1 = F[c1, c2] @ [x, y, 1];
+    # componentwise, shapes [C1, D1, C2, J].
+    def line(Fi0, Fi1, Fi2, xs, ys):
+        return (
+            Fi0[:, None, :, None] * xs[:, :, None, :]
+            + Fi1[:, None, :, None] * ys[:, :, None, :]
+            + Fi2[:, None, :, None]
+        )
+
+    l10 = line(F[..., 0, 0], F[..., 0, 1], F[..., 0, 2], x, y)
+    l11 = line(F[..., 1, 0], F[..., 1, 1], F[..., 1, 2], x, y)
+    l12 = line(F[..., 2, 0], F[..., 2, 1], F[..., 2, 2], x, y)
+    n1 = jnp.sqrt(l10**2 + l11**2)  # [C1, D1, C2, J]
+
+    # Line of (c2, d2, j) back in camera c1: l2 = F[c1, c2]^T @ [x2, y2, 1];
+    # componentwise, shapes [C1, C2, D2, J].
+    def linet(F0i, F1i, F2i, xs, ys):
+        return (
+            F0i[:, :, None, None] * xs[None, :, :, :]
+            + F1i[:, :, None, None] * ys[None, :, :, :]
+            + F2i[:, :, None, None]
+        )
+
+    l20 = linet(F[..., 0, 0], F[..., 1, 0], F[..., 2, 0], x, y)
+    l21 = linet(F[..., 0, 1], F[..., 1, 1], F[..., 2, 1], x, y)
+    l22 = linet(F[..., 0, 2], F[..., 1, 2], F[..., 2, 2], x, y)
+    n2 = jnp.sqrt(l20**2 + l21**2)  # [C1, C2, D2, J]
+
+    # num1[c1,d1,c2,d2,j] = p2 . l1, num2 = p1 . l2 (reference :357-360).
+    num1 = (
+        x[None, None, :, :, :] * l10[:, :, :, None, :]
+        + y[None, None, :, :, :] * l11[:, :, :, None, :]
+        + l12[:, :, :, None, :]
+    )
+    num2 = (
+        x[:, :, None, None, :] * l20[:, None, :, :, :]
+        + y[:, :, None, None, :] * l21[:, None, :, :, :]
+        + l22[:, None, :, :, :]
+    )
+    d = jnp.abs(num1) / jnp.where(n1 > 0, n1, 1.0)[:, :, :, None, :] + jnp.abs(
+        num2
+    ) / jnp.where(n2 > 0, n2, 1.0)[:, None, :, :, :]
+
+    both_ok = conf_ok[:, :, None, None, :] & conf_ok[None, None, :, :, :]
+    n_joints = jnp.sum(both_ok, axis=-1)  # [C1, D1, C2, D2]
+    dist_sum = jnp.sum(jnp.where(both_ok, d, 0.0), axis=-1)
+    pair_cost = dist_sum / jnp.where(n_joints > 0, n_joints, 1)
+    return pair_cost, n_joints > 0
+
+
 def pairwise_joint_epipolar_sq(
     F: jnp.ndarray,
     kp: jnp.ndarray,

@@ -256,200 +256,3 @@ def tree_solve(
         )
     return x, sigma
 
-
-# ---------------------------------------------------------------------------
-# Pallas TPU kernel: persons across lanes, 3x3 blocks as 9 static rows.
-# The whole solve (forward elimination + back-substitution + optional
-# marginal recursion) is one fully-unrolled kernel launch.
-# ---------------------------------------------------------------------------
-
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
-
-_LANES = 128
-
-
-def _m_read(ref, j):
-    return [ref[9 * j + k : 9 * j + k + 1, :] for k in range(9)]
-
-
-def _m_write(ref, j, m):
-    for k in range(9):
-        ref[9 * j + k : 9 * j + k + 1, :] = m[k]
-
-
-def _v_read(ref, j):
-    return [ref[3 * j + k : 3 * j + k + 1, :] for k in range(3)]
-
-
-def _v_write(ref, j, v):
-    for k in range(3):
-        ref[3 * j + k : 3 * j + k + 1, :] = v[k]
-
-
-def _m_inv(m):
-    c00 = m[4] * m[8] - m[5] * m[7]
-    c01 = m[5] * m[6] - m[3] * m[8]
-    c02 = m[3] * m[7] - m[4] * m[6]
-    det = m[0] * c00 + m[1] * c01 + m[2] * c02
-    c10 = m[2] * m[7] - m[1] * m[8]
-    c11 = m[0] * m[8] - m[2] * m[6]
-    c12 = m[1] * m[6] - m[0] * m[7]
-    c20 = m[1] * m[5] - m[2] * m[4]
-    c21 = m[2] * m[3] - m[0] * m[5]
-    c22 = m[0] * m[4] - m[1] * m[3]
-    safe = jnp.abs(det) > 1e-30
-    inv_det = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, det, 1.0)
-    # inv[i][j] = cof[j][i] / det
-    return [
-        c00 * inv_det, c10 * inv_det, c20 * inv_det,
-        c01 * inv_det, c11 * inv_det, c21 * inv_det,
-        c02 * inv_det, c12 * inv_det, c22 * inv_det,
-    ]
-
-
-def _m_mul(a, b):
-    return [
-        sum(a[3 * i + k] * b[3 * k + j] for k in range(3))
-        for i in range(3)
-        for j in range(3)
-    ]
-
-
-def _m_mul_t(a, b):
-    """a @ b^T."""
-    return [
-        sum(a[3 * i + k] * b[3 * j + k] for k in range(3))
-        for i in range(3)
-        for j in range(3)
-    ]
-
-
-def _m_v(m, v):
-    return [sum(m[3 * i + k] * v[k] for k in range(3)) for i in range(3)]
-
-
-def _tree_kernel(want_sigma, d_in, c_in, act_in, rhs_in,
-                 x_out, sig_out, d_ref, rhs_ref):
-    # Copy mutable state into scratch.
-    d_ref[:] = d_in[:]
-    rhs_ref[:] = rhs_in[:]
-
-    bones = [
-        (b, int(skeleton.BONE_I[b]), int(skeleton.BONE_J[b]))
-        for b in ELIMINATION_ORDER.tolist()
-    ]
-
-    def coupling(b):
-        on = act_in[b : b + 1, :] > 0
-        return [jnp.where(on, r, 0.0) for r in _m_read(c_in, b)], on
-
-    # Forward elimination.
-    for b, p_idx, c_idx in bones:
-        c_m, _ = coupling(b)
-        dc_inv = _m_inv(_m_read(d_ref, c_idx))
-        cdinv = _m_mul(c_m, dc_inv)
-        upd = _m_mul(cdinv, c_m)
-        d_p = _m_read(d_ref, p_idx)
-        _m_write(d_ref, p_idx, [d_p[k] - upd[k] for k in range(9)])
-        r_p = _v_read(rhs_ref, p_idx)
-        rv = _m_v(cdinv, _v_read(rhs_ref, c_idx))
-        _v_write(rhs_ref, p_idx, [r_p[k] - rv[k] for k in range(3)])
-
-    # Back-substitution: roots first (all joints), children overwrite.
-    for j in range(_K):
-        d_inv_j = _m_inv(_m_read(d_ref, j))
-        _v_write(x_out, j, _m_v(d_inv_j, _v_read(rhs_ref, j)))
-        if want_sigma:
-            _m_write(sig_out, j, d_inv_j)
-    for b, p_idx, c_idx in bones[::-1]:
-        c_m, on = coupling(b)
-        d_inv_c = _m_inv(_m_read(d_ref, c_idx))
-        r_c = _v_read(rhs_ref, c_idx)
-        cx = _m_v(c_m, _v_read(x_out, p_idx))
-        x_c = _m_v(d_inv_c, [r_c[k] - cx[k] for k in range(3)])
-        old = _v_read(x_out, c_idx)
-        _v_write(
-            x_out, c_idx,
-            [jnp.where(on, x_c[k], old[k]) for k in range(3)],
-        )
-        if want_sigma:
-            k_m = _m_mul(d_inv_c, c_m)
-            s_p = _m_read(sig_out, p_idx)
-            ks = _m_mul(k_m, s_p)
-            kskt = _m_mul_t(ks, k_m)
-            s_old = _m_read(sig_out, c_idx)
-            s_c = [d_inv_c[k] + kskt[k] for k in range(9)]
-            _m_write(
-                sig_out, c_idx,
-                [jnp.where(on, s_c[k], s_old[k]) for k in range(9)],
-            )
-    if not want_sigma:
-        sig_out[:] = jnp.zeros_like(sig_out)
-
-
-@functools.partial(jax.jit, static_argnames=("want_sigma", "interpret"))
-def _tree_solve_pallas_padded(d9, c9, act, rhs3, want_sigma, interpret):
-    kernel = functools.partial(_tree_kernel, want_sigma)
-    rows_d = d9.shape[0]
-    rows_r = rhs3.shape[0]
-    x, sig = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((rows_r, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_d, _LANES), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rows_d, _LANES), jnp.float32),
-            pltpu.VMEM((rows_r, _LANES), jnp.float32),
-        ],
-        interpret=interpret,
-    )(d9, c9, act, rhs3)
-    return x, sig
-
-
-def tree_solve_pallas(
-    hdiag: jnp.ndarray,
-    bone_coup: jnp.ndarray,
-    bone_active: jnp.ndarray,
-    rhs: jnp.ndarray,
-    want_sigma: bool = False,
-    interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas version of tree_solve (same contract); P <= 128."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    p = hdiag.shape[0]
-    if p > _LANES:
-        raise ValueError(f"tree_solve_pallas supports P <= {_LANES}")
-
-    def pack_mats(m, rows_units):
-        # [P, U, 3, 3] -> [U*9 (padded to 8k), 128]
-        a = jnp.transpose(m, (1, 2, 3, 0)).reshape(rows_units * 9, p)
-        rows = -(-(rows_units * 9) // 8) * 8
-        out = jnp.zeros((rows, _LANES), jnp.float32)
-        return out.at[: rows_units * 9, :p].set(a.astype(jnp.float32))
-
-    d9 = pack_mats(hdiag, _K)
-    c9 = pack_mats(bone_coup, _B)
-    act_rows = -(-_B // 8) * 8
-    act = jnp.zeros((act_rows, _LANES), jnp.int32)
-    act = act.at[:_B, :p].set(
-        jnp.transpose(bone_active, (1, 0)).astype(jnp.int32)
-    )
-    rhs_rows = -(-(_K * 3) // 8) * 8
-    r3 = jnp.zeros((rhs_rows, _LANES), jnp.float32)
-    r3 = r3.at[: _K * 3, :p].set(
-        jnp.transpose(rhs, (1, 2, 0)).reshape(_K * 3, p).astype(jnp.float32)
-    )
-
-    x9, sig9 = _tree_solve_pallas_padded(
-        d9, c9, act, r3, bool(want_sigma), bool(interpret)
-    )
-    x = jnp.transpose(
-        x9[: _K * 3, :p].reshape(_K, 3, p), (2, 0, 1)
-    ).astype(hdiag.dtype)
-    sigma = jnp.transpose(
-        sig9[: _K * 9, :p].reshape(_K, 3, 3, p), (3, 0, 1, 2)
-    ).astype(hdiag.dtype)
-    return x, sigma

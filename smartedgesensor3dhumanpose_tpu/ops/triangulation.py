@@ -163,43 +163,6 @@ def triangulate(
     return jnp.where(deficient[..., None], 0.0, xyz)
 
 
-def triangulate_refined(
-    P: jnp.ndarray,
-    kp: jnp.ndarray,
-    view_mask: jnp.ndarray,
-    weight_by_conf: bool = True,
-    sweeps: int = 8,
-) -> jnp.ndarray:
-    """Two-pass DLT with origin recentering for float32 accuracy.
-
-    Solving the normal equations squares the design matrix's condition
-    number; in float32 on a hall-sized rig that costs a few millimeters.
-    A second solve with the camera origins translated to the first estimate
-    (solve for the small correction delta with P' = [R | P @ [x0; 1]])
-    recovers micrometer-level accuracy — the homogeneous solution's scale
-    then matches the correction's, so relative eigenvector error maps to a
-    tiny absolute error. Roughly doubles the cost of a single solve; used
-    for final joint positions, while sigma-point / leave-one-out solves
-    (which only feed covariances and thresholds) stay single-pass.
-    """
-    x0 = triangulate(P, kp, view_mask, weight_by_conf, sweeps)
-    x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)
-    # Shifted projection: col3' = P @ [x0; 1]; rotation block unchanged.
-    t_new = linalg.heinsum("cij,...j->...ci", P, x0h)  # [..., C, 3]
-    p_shift = jnp.broadcast_to(P, x0.shape[:-1] + P.shape)
-    p_shift = jnp.concatenate([p_shift[..., :3], t_new[..., None]], axis=-1)
-    m = _normal_matrix_direct(p_shift, kp, view_mask, weight_by_conf)
-    deficient = jnp.sum(view_mask, axis=-1) < 2
-    m = m + jnp.where(deficient[..., None, None], 1.0, 0.0) * jnp.eye(
-        4, dtype=m.dtype
-    )
-    h = linalg.smallest_eigvec4_psd(m)
-    w = h[..., 3]
-    w = jnp.where(jnp.abs(w) > 1e-20, w, 1e-20)
-    delta = h[..., :3] / w[..., None]
-    return jnp.where(deficient[..., None], 0.0, x0 + delta)
-
-
 def reprojection_error(
     xyz: jnp.ndarray,
     P: jnp.ndarray,

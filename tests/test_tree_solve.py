@@ -83,23 +83,6 @@ def test_tree_solve_levels_cover_all_bones():
     np.testing.assert_array_equal(got, np.arange(sk.NUM_BONES))
 
 
-def test_tree_solve_pallas_matches_plain(rng):
-    hdiag, coup, act, rhs = random_tree_system(rng, p=6)
-    args = (
-        jnp.asarray(hdiag), jnp.asarray(coup), jnp.asarray(act),
-        jnp.asarray(rhs),
-    )
-    x_ref, s_ref = ts.tree_solve(*args, want_sigma=True)
-    x_pl, s_pl = ts.tree_solve_pallas(*args, want_sigma=True)
-    # The Pallas kernel computes in float32.
-    np.testing.assert_allclose(
-        np.asarray(x_pl), np.asarray(x_ref), atol=5e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(s_pl), np.asarray(s_ref), atol=5e-4
-    )
-
-
 def test_elimination_order_is_children_first():
     order = ts.ELIMINATION_ORDER.tolist()
     eliminated = set()

@@ -71,8 +71,11 @@ def test_triangulate_matches_oracle_noisy(rng):
             np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-def test_triangulate_refined_f32_precision(rng):
-    """Recentered two-pass DLT must reach micrometer accuracy in float32."""
+def test_triangulate_f32_noiseless_precision(rng):
+    """The single-pass f32 solve on exact projections must stay far inside
+    the 1 mm parity budget (the final pipeline positions are this solve —
+    the reference publishes the base/leave-one-out DLT solution verbatim,
+    see tests/test_reference_parity_frame.py)."""
     P = random_rig(rng, c=8)
     pts = rng.normal(size=(20, 3)) * 1.5
     kp = np.zeros((20, 8, 3))
@@ -82,14 +85,14 @@ def test_triangulate_refined_f32_precision(rng):
             kp[b, c, 2] = rng.uniform(0.4, 1.0)
     mask = np.ones((20, 8), bool)
     out = np.asarray(
-        triangulation.triangulate_refined(
+        triangulation.triangulate(
             jnp.asarray(P, jnp.float32),
             jnp.asarray(kp, jnp.float32),
             jnp.asarray(mask),
         )
     )
     err = np.linalg.norm(out - pts, axis=-1)
-    assert err.max() < 5e-6  # meters
+    assert err.max() < 1e-4  # meters; f32 normal-equation floor
 
 
 def test_reprojection_error_matches_oracle(rng):
