@@ -84,12 +84,45 @@ def main():
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
+    # ---- scaled 64-camera x 25-person hall (context metric; the headline
+    # stays the 16-cam demo the 500 fps target refers to).
+    scaled_fps = None
+    try:
+        s_frames = 32
+        s_scene = synthetic.generate_scene(
+            synthetic.SceneConfig(
+                num_cameras=64, num_people=25, num_frames=s_frames, seed=1
+            )
+        )
+        s_config = PipelineConfig.scaled_64cam()
+        s_data = synthetic.frames_from_scene(s_scene)
+        sf = Frame(
+            kp2d=jnp.asarray(s_data["kp2d"]),
+            cov2d=jnp.asarray(s_data["cov2d"]),
+            det_score=jnp.asarray(s_data["det_score"]),
+            det_valid=jnp.asarray(s_data["det_valid"]),
+            cam_stamp=jnp.asarray(s_data["cam_stamp"], jnp.float32),
+            fb_delay=jnp.asarray(s_data["fb_delay"]),
+        )
+        s_pipe = pl.Pipeline(s_scene["rig"], s_config, fusion_batch=8)
+        s_state = s_pipe.init_state()
+        _, s_out = s_pipe.run_offline(s_state, sf)
+        jax.block_until_ready(s_out)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            _, s_out = s_pipe.run_offline(s_state, sf)
+            jax.block_until_ready(s_out)
+        scaled_fps = round(s_frames / ((time.perf_counter() - t0) / 2), 2)
+    except Exception:
+        pass  # context metric only; never fail the bench for it
+
     result = {
         "metric": "fused_3d_skeleton_fps_16cam_6people",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 4),
         "p50_step_latency_ms": round(p50_ms, 3),
+        "scaled_64cam_25people_fps": scaled_fps,
         "device": str(jax.devices()[0]),
         "num_frames": num_frames,
     }

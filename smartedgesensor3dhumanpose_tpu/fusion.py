@@ -73,9 +73,7 @@ class _AssocCarry(NamedTuple):
 def _associate_camera(
     carry: _AssocCarry,
     cam_idx: jnp.ndarray,
-    pair_cost_c: jnp.ndarray,
-    pair_usable_c: jnp.ndarray,
-    confident: jnp.ndarray,
+    tables_c: jnp.ndarray,
     det_ok: jnp.ndarray,
     config: FusionConfig,
 ) -> _AssocCarry:
@@ -83,51 +81,59 @@ def _associate_camera(
     the hypothesis set (reference :588-674).
 
     The hypothesis x detection cost matrix is assembled from the
-    frame-level precomputed per-observation pair costs
-    (ops.epipolar.pairwise_association_costs) by gathering each hypothesis'
-    observation identities — the sequential step does no epipolar math.
+    frame-level precomputed per-observation pair tables
+    (ops.epipolar.pairwise_association_costs, packaged by `associate`) with
+    FOUR one-hot MXU matmuls over the hypotheses' observation identities —
+    the sequential step does no epipolar math and materializes no
+    [H, C, D] intermediates. (XLA lowers 2D-indexed gathers to serialized
+    dynamic-slices on TPU; the equivalent [H, C*D'] x [C*D', D] contraction
+    with 0/1 weights under Precision.HIGHEST is exact and runs on the MXU
+    in microseconds.)
 
     When no hypothesis exists yet every valid detection seeds one — which
     reproduces the reference's 'first camera with usable detections seeds
     the set' rule (:566-586) without a special case.
 
     Args:
-      pair_cost_c / pair_usable_c: [C, D, D] — per-observation cost /
-        usability of pairing detection (c', d') with the current camera's
-        detection d.
-      confident: [C, D] bool — observation score > 0.5 (veto voting right).
+      tables_c: [4, C*D', D] stacked per-observation tables against the
+        current camera's detections, flattened over (camera, detection):
+        [0] cost*usable, [1] usable, [2] usable & cost>gate & confident,
+        [3] usable & cost>gate.
       det_ok: [D] bool — usable detections of the current camera.
     """
     h, c = carry.det_slot.shape
     d = det_ok.shape[0]
-    dtype = pair_cost_c.dtype
+    dtype = tables_c.dtype
+    d1 = tables_c.shape[1] // c
 
-    # Gather each hypothesis' observations against the current camera's
-    # detections: [H, C, D] costs + usability, [H, C] voting rights.
-    slot = jnp.where(carry.det_slot >= 0, carry.det_slot, 0)
-    cam_r = jnp.arange(c)[None, :]
-    g_cost = pair_cost_c[cam_r, slot]      # [H, C, D]
-    g_usable = pair_usable_c[cam_r, slot]  # [H, C, D]
-    g_conf = confident[cam_r, slot]        # [H, C]
+    # One-hot observation identities [H, C*D']: row (h, c'*D'+d') is 1 iff
+    # hypothesis h observes detection d' in camera c'. Cameras not in the
+    # hypothesis have det_slot -1 -> all-zero block, so cam_mask is encoded.
+    onehot = (
+        carry.det_slot[:, :, None] == jnp.arange(d1, dtype=jnp.int32)
+    ).astype(dtype).reshape(h, c * d1)
+    sums = linalg.heinsum("hx,txd->thd", onehot, tables_c)  # [4, H, D]
+    total, n_obs_used, votes_conf, votes_all = (
+        sums[0], sums[1], sums[2], sums[3]
+    )
 
     # Mean per-observation cost over observations sharing joints (:344-366).
     obs_in_hyp = carry.cam_mask
-    obs_used = obs_in_hyp[:, :, None] & g_usable
     n_obs_in_hyp = jnp.sum(obs_in_hyp, axis=-1)  # [H]
-    n_obs_used = jnp.sum(obs_used, axis=1)       # [H, D]
-    total = jnp.sum(jnp.where(obs_used, g_cost, 0.0), axis=1)
-    cost = total / jnp.where(n_obs_used > 0, n_obs_used, 1)
+    cost = total / jnp.maximum(n_obs_used, 1.0)
 
-    # Veto accumulation (:344-381): only confident observations (or a
-    # single-observation hypothesis) vote; each vote adds 1/n_obs_in_hyp.
-    voting = g_conf[:, :, None] | (n_obs_in_hyp[:, None, None] == 1)
-    vote = obs_used & (g_cost > config.max_epipolar_error) & voting
+    # Veto accumulation (:344-381): only confident observations vote —
+    # except in a single-observation hypothesis, where the lone observation
+    # always votes; each vote adds 1/n_obs_in_hyp.
+    n_votes = jnp.where(
+        (n_obs_in_hyp == 1)[:, None], votes_all, votes_conf
+    )
     n_obs_f = jnp.maximum(n_obs_in_hyp, 1).astype(dtype)
-    tmp_veto = jnp.sum(vote, axis=1).astype(dtype) / n_obs_f[:, None]
+    tmp_veto = n_votes / n_obs_f[:, None]
     tolerance = 1.0 - 1.0 / (2.0 * n_obs_f)
     veto = tmp_veto > tolerance[:, None]
 
-    unusable = (n_obs_used == 0) | (n_obs_in_hyp[:, None] == 0)
+    unusable = (n_obs_used < 0.5) | (n_obs_in_hyp[:, None] == 0)
     cost = jnp.where(unusable, config.max_cost, cost)
     veto = veto | unusable
     cost = jnp.where(det_ok[None, :], cost, config.max_cost)
@@ -165,9 +171,18 @@ def _associate_camera(
         # Unconditional solve (the cond would be speculated away under the
         # frame-batched fusion path anyway); the mask-derived assignment
         # still overrides it on unambiguous frames for exact reference
-        # parity of that path.
+        # parity of that path. When the solve's result will be discarded,
+        # feed a trivially-solvable matrix instead: the Pallas JV's search
+        # loops are data-dependent (early exit), so unambiguous steps —
+        # the common case — cost almost nothing.
+        solver_cost = jnp.minimum(cost, _ASSIGN_COST_CLIP)
+        trivial = jnp.where(
+            jnp.arange(h)[:, None] == jnp.arange(d)[None, :],
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(1.0, dtype),
+        )
         solved = hungarian.linear_sum_assignment(
-            jnp.minimum(cost, _ASSIGN_COST_CLIP),
+            jnp.where(need_solver, solver_cost, trivial),
             use_pallas=config.assignment_impl == "pallas",
         )
         assignment = jnp.where(need_solver, solved, from_mask(None))
@@ -253,15 +268,23 @@ def associate(
     """
     c, d, j, _ = kp_n.shape
     h = config.max_hypotheses
+    dtype = kp_n.dtype
 
-    # [C1, D1, C2, D2] per-observation costs; rearranged so the scan over
-    # the current camera c2 slices its [C1, D1, D2] block.
+    # [C1, D1, C2, D2] per-observation costs, folded with the masks the
+    # scan step needs into four tables (see _associate_camera): the step's
+    # whole cost/veto assembly then reduces to one stacked matmul against
+    # the hypotheses' one-hot observation identities.
     pair_cost, pair_usable = epipolar.pairwise_association_costs(
         kp_n, rig.F, config.min_kp_score
     )
-    pc = jnp.moveaxis(pair_cost, 2, 0)    # [C2, C1, D1, D2]
-    pu = jnp.moveaxis(pair_usable, 2, 0)
-    confident = det_score > 0.5  # [C, D] veto voting right (:352)
+    u = pair_usable.astype(dtype)
+    big = (pair_cost > config.max_epipolar_error).astype(dtype) * u
+    conf = (det_score > 0.5).astype(dtype)  # [C, D] voting right (:352)
+    tables = jnp.stack(
+        [pair_cost * u, u, big * conf[:, :, None, None], big]
+    )  # [4, C1, D1, C2, D2]
+    # [C2, 4, C1*D1, D2]: the scan over the current camera slices axis 0.
+    tables = jnp.moveaxis(tables, 3, 0).reshape(c, 4, c * d, d)
 
     carry0 = _AssocCarry(
         det_slot=jnp.full((h, c), -1, jnp.int32),
@@ -273,23 +296,20 @@ def associate(
         carry = carry0
         for ci in range(c):
             carry = _associate_camera(
-                carry, jnp.int32(ci), pc[ci], pu[ci], confident,
-                det_ok[ci], config,
+                carry, jnp.int32(ci), tables[ci], det_ok[ci], config
             )
     else:
         def step(cy, xs):
-            cam_idx, pc_c, pu_c, d_ok = xs
+            cam_idx, tables_c, d_ok = xs
             return (
-                _associate_camera(
-                    cy, cam_idx, pc_c, pu_c, confident, d_ok, config
-                ),
+                _associate_camera(cy, cam_idx, tables_c, d_ok, config),
                 None,
             )
 
         carry, _ = jax.lax.scan(
             step,
             carry0,
-            (jnp.arange(c, dtype=jnp.int32), pc, pu, det_ok),
+            (jnp.arange(c, dtype=jnp.int32), tables, det_ok),
             unroll=min(4, c),
         )
 

@@ -167,8 +167,27 @@ def _solve_padded(cost_padded: jnp.ndarray, n: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _jv_kernel_batched(n: int, cost_ref, out_ref):
-    """cost_ref: [1, 8, R, 128] (8 problems); out_ref: [1, 8, 128]."""
+def _jv_kernel_batched(
+    n: int,
+    cost_ref,
+    out_ref,
+    u_ref,
+    v_ref,
+    roc_ref,
+    minv_ref,
+    way_ref,
+    used_ref,
+    tree_ref,
+    j0_ref,
+):
+    """cost_ref: [1, 8, R, 128] (8 problems); out_ref: [1, 8, 128].
+
+    Solver state lives in (8, 128) VMEM scratch tiles (one problem per
+    sublane); the search/augment loops are while_loops carrying only
+    scalars (Mosaic cannot legalize loop-carried vectors with replicated
+    sublane layouts) that exit as soon as EVERY sublane's search is done —
+    typical augmenting paths finish in a few steps, not the n+1 worst case,
+    so the early exit cuts the sequential step count several-fold."""
     r_pad = cost_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 1)
     valid = lane < n
@@ -188,62 +207,80 @@ def _jv_kernel_batched(n: int, cost_ref, out_ref):
             jnp.where(lane == idx, vec, 0), axis=1, keepdims=True
         )
 
-    u = jnp.zeros((_SUBS, _LANES), jnp.float32)
-    v = jnp.zeros((_SUBS, _LANES), jnp.float32)
-    roc = jnp.full((_SUBS, _LANES), -1, jnp.int32)
+    u_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
+    v_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
+    roc_ref[:] = jnp.full((_SUBS, _LANES), -1, jnp.int32)
 
-    def assign_row(r, carry):
-        u, v, roc = carry
-        roc = jnp.where(lane == virt, r, roc)
-        minv = jnp.full((_SUBS, _LANES), _INF, jnp.float32)
-        way = jnp.full((_SUBS, _LANES), virt, jnp.int32)
-        # Masks carried as int32 (Mosaic cannot truncate loop-carried i1).
-        used = jnp.zeros((_SUBS, _LANES), jnp.int32)
-        tree = jnp.zeros((_SUBS, _LANES), jnp.int32)
-        j0 = jnp.full((_SUBS, 1), virt, jnp.int32)
+    def assign_row(r, _):
+        roc_ref[:] = jnp.where(lane == virt, r, roc_ref[:])
+        minv_ref[:] = jnp.full((_SUBS, _LANES), _INF, jnp.float32)
+        way_ref[:] = jnp.full((_SUBS, _LANES), virt, jnp.int32)
+        # Masks held as int32 (Mosaic cannot truncate loop-carried i1).
+        used_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
+        tree_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
+        j0_ref[:] = jnp.full((_SUBS, _LANES), virt, jnp.int32)
 
-        def search(step, state):
-            u, v, minv, way, used, tree, j0 = state
+        def search_cond(go):
+            return go > 0
+
+        def search_body(go):
+            j0 = j0_ref[:, 0:1]
+            roc = roc_ref[:]
             active = sel_lane(roc, j0) >= 0  # (8, 1)
             i0 = sel_lane(roc, j0)
-            used_n = jnp.where((lane == j0) & active, 1, used)
-            tree_n = jnp.where((lane == i0) & active, 1, tree)
-            used_b = used_n > 0
-            tree_b = tree_n > 0
-            cur = cost_row(i0) - sel_lane(u, i0) - v
+            used = jnp.where((lane == j0) & active, 1, used_ref[:])
+            tree = jnp.where((lane == i0) & active, 1, tree_ref[:])
+            used_b = used > 0
+            cur = cost_row(i0) - sel_lane(u_ref[:], i0) - v_ref[:]
+            minv = minv_ref[:]
             better = (cur < minv) & ~used_b & valid & active
             minv = jnp.where(better, cur, minv)
-            way = jnp.where(better, j0, way)
+            way_ref[:] = jnp.where(better, j0, way_ref[:])
             masked = jnp.where(used_b | ~valid, _INF, minv)
             delta = jnp.min(masked, axis=1, keepdims=True)
             j1 = jnp.min(
-                jnp.where(masked == delta, lane, _LANES), axis=1, keepdims=True
+                jnp.where(masked == delta, lane, _LANES),
+                axis=1,
+                keepdims=True,
             ).astype(jnp.int32)
-            u = jnp.where(tree_b & active, u + delta, u)
-            v = jnp.where(used_b & active, v - delta, v)
-            minv = jnp.where(~used_b & valid & active, minv - delta, minv)
-            used = jnp.where(active, used_n, used)
-            tree = jnp.where(active, tree_n, tree)
-            j0 = jnp.where(active, j1, j0)
-            return u, v, minv, way, used, tree, j0
+            u_ref[:] = jnp.where((tree > 0) & active, u_ref[:] + delta, u_ref[:])
+            v_ref[:] = jnp.where(used_b & active, v_ref[:] - delta, v_ref[:])
+            minv_ref[:] = jnp.where(
+                ~used_b & valid & active, minv - delta, minv
+            )
+            used_ref[:] = jnp.where(active, used, used_ref[:])
+            tree_ref[:] = jnp.where(active, tree, tree_ref[:])
+            j0_new = jnp.where(active, j1, j0)
+            j0_ref[:] = jnp.broadcast_to(j0_new, (_SUBS, _LANES))
+            # Continue while any sublane's walk still sits on a taken column.
+            still = sel_lane(roc_ref[:], j0_new) >= 0
+            return jnp.sum(still.astype(jnp.int32))
 
-        u, v, _minv, way, _used, _tree, j0 = jax.lax.fori_loop(
-            0, n + 1, search, (u, v, minv, way, used, tree, j0)
+        init_go = jnp.sum(
+            (sel_lane(roc_ref[:], j0_ref[:, 0:1]) >= 0).astype(jnp.int32)
         )
+        jax.lax.while_loop(search_cond, search_body, init_go)
 
-        def augment(step, state):
-            roc, j = state
+        def aug_cond(go):
+            return go > 0
+
+        def aug_body(go):
+            j = j0_ref[:, 0:1]
             active = j != virt
-            jprev = sel_lane(way, j)
-            roc_prev = sel_lane(roc, jprev)
-            roc = jnp.where((lane == j) & active, roc_prev, roc)
-            j = jnp.where(active, jprev, j)
-            return roc, j
+            jprev = sel_lane(way_ref[:], j)
+            roc_prev = sel_lane(roc_ref[:], jprev)
+            roc_ref[:] = jnp.where((lane == j) & active, roc_prev, roc_ref[:])
+            j_new = jnp.where(active, jprev, j)
+            j0_ref[:] = jnp.broadcast_to(j_new, (_SUBS, _LANES))
+            return jnp.sum((j_new != virt).astype(jnp.int32))
 
-        roc, _ = jax.lax.fori_loop(0, n + 1, augment, (roc, j0))
-        return u, v, roc
+        init_aug = jnp.sum((j0_ref[:, 0:1] != virt).astype(jnp.int32))
+        jax.lax.while_loop(aug_cond, aug_body, init_aug)
+        return 0
 
-    u, v, roc = jax.lax.fori_loop(0, n, assign_row, (u, v, roc))
+    jax.lax.fori_loop(0, n, assign_row, 0)
+
+    roc = roc_ref[:]
 
     def invert_row(i, out):
         j_of_i = jnp.sum(
@@ -262,6 +299,16 @@ def _solve_padded_batched(cost4: jnp.ndarray, n: int, interpret: bool):
     """cost4: [G, 8, R, 128] -> [G, 8, 128] col_of_row."""
     g, _, r_pad, _ = cost4.shape
     kernel = functools.partial(_jv_kernel_batched, n)
+    scratch = [
+        pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # u
+        pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # v
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # roc
+        pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # minv
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # way
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # used
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # tree
+        pltpu.VMEM((_SUBS, _LANES), jnp.int32),    # j0
+    ]
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -276,6 +323,7 @@ def _solve_padded_batched(cost4: jnp.ndarray, n: int, interpret: bool):
             (1, _SUBS, _LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((g, _SUBS, _LANES), jnp.int32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(cost4)
 
