@@ -187,6 +187,11 @@ def main(argv=None):
 
         viz.render_live_dashboard(outs, scene["rig"], args.live)
         print(f"live dashboard written to {args.live}")
+    elif args.live:
+        print(
+            "--live requires the offline replay outputs; it is not "
+            "available with --online (no dashboard written)"
+        )
     if args.save and outs is not None:
         np.savez_compressed(
             args.save,

@@ -271,7 +271,6 @@ class LatestSlot {
       handles_[i] = handles[i];
     }
     fresh_ = true;
-    ++seq_;
   }
 
   int take(int64_t* stamps_out, uint64_t* handles_out) {
@@ -282,7 +281,6 @@ class LatestSlot {
       handles_out[i] = handles_[i];
     }
     fresh_ = false;
-    ++taken_;
     return 1;
   }
 
@@ -297,8 +295,6 @@ class LatestSlot {
   std::vector<int64_t> stamps_;
   std::vector<uint64_t> handles_;
   bool fresh_ = false;
-  uint64_t seq_ = 0;
-  uint64_t taken_ = 0;
   uint64_t dropped_ = 0;
 };
 

@@ -10,11 +10,12 @@ root-to-leaf back-substitution costs 21 tiny 3x3 steps instead of a dense
 63x63 factorization, and the sparse-inverse recursion gives the marginal
 covariance blocks (gtsam's Marginals) in one more backward sweep.
 
-Two implementations with identical math:
-* a plain-JAX version (CPU tests / fallback),
-* a Pallas TPU kernel with persons across lanes and every 3x3 block held as
-  9 static rows — the whole solve is one kernel launch (~10 us) versus
-  ~140 us for XLA's cholesky+cho_solve custom calls per LM iteration.
+Two implementations with identical math: the level-grouped production
+solver (`tree_solve_levels`, ~6 batched 3x3 levels) and a bone-sequential
+readable variant (`tree_solve`, the oracle in tests). All 3x3 block
+contractions are componentwise multiply-adds (`_m3`/`_mv3`), not dots —
+TPU dot_generals default to bf16 passes, which cost ~3000x the accuracy
+here, and Precision.HIGHEST costs ~40x the time at these sizes.
 """
 
 from __future__ import annotations
@@ -89,6 +90,25 @@ def _levels() -> list[np.ndarray]:
 LEVELS = _levels()
 
 
+
+def _m3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 @ 3x3 as componentwise multiply-add (no dot_general):
+    true float32 on the VPU — TPU dots default to bf16 passes, and
+    Precision.HIGHEST's multi-pass decomposition costs ~40x on these tiny
+    sequential-scan blocks."""
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def _m3t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 @ 3x3^T, componentwise (see _m3)."""
+    return jnp.sum(a[..., :, None, :] * b[..., None, :, :], axis=-1)
+
+
+def _mv3(a: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 @ 3-vector, componentwise (see _m3)."""
+    return jnp.sum(a * v[..., None, :], axis=-1)
+
+
 def tree_solve_levels(
     hdiag: jnp.ndarray,
     bone_coup: jnp.ndarray,
@@ -118,23 +138,20 @@ def tree_solve_levels(
         c_idx = jnp.asarray(skeleton.BONE_J[lvl])
         c_m, on = coup_at(lvl)  # [P, L, 3, 3]
         dc_inv = _inv3(d[:, c_idx])
-        cdinv = c_m @ dc_inv
-        d = d.at[:, p_idx].add(-(cdinv @ c_m))
-        r = r.at[:, p_idx].add(
-            -jnp.einsum("plij,plj->pli", cdinv, r[:, c_idx])
-        )
+        cdinv = _m3(c_m, dc_inv)
+        d = d.at[:, p_idx].add(-_m3(cdinv, c_m))
+        r = r.at[:, p_idx].add(-_mv3(cdinv, r[:, c_idx]))
 
     # Backward: roots, then levels from shallow to deep.
     d_inv = _inv3(d)
-    x = jnp.einsum("pkij,pkj->pki", d_inv, r)
+    x = _mv3(d_inv, r)
     for lvl in LEVELS[::-1]:
         p_idx = jnp.asarray(skeleton.BONE_I[lvl])
         c_idx = jnp.asarray(skeleton.BONE_J[lvl])
         c_m, on = coup_at(lvl)
-        xc = jnp.einsum(
-            "plij,plj->pli",
+        xc = _mv3(
             d_inv[:, c_idx],
-            r[:, c_idx] - jnp.einsum("plij,plj->pli", c_m, x[:, p_idx]),
+            r[:, c_idx] - _mv3(c_m, x[:, p_idx]),
         )
         # Duplicate children within a level are mutually exclusive actives:
         # zero the updated slots, scatter-add the masked values, keep old
@@ -153,10 +170,8 @@ def tree_solve_levels(
         p_idx = jnp.asarray(skeleton.BONE_I[lvl])
         c_idx = jnp.asarray(skeleton.BONE_J[lvl])
         c_m, on = coup_at(lvl)
-        k_m = d_inv[:, c_idx] @ c_m
-        s_c = d_inv[:, c_idx] + k_m @ sigma[:, p_idx] @ jnp.swapaxes(
-            k_m, -1, -2
-        )
+        k_m = _m3(d_inv[:, c_idx], c_m)
+        s_c = d_inv[:, c_idx] + _m3t(_m3(k_m, sigma[:, p_idx]), k_m)
         upd = jnp.zeros_like(sigma).at[:, c_idx].add(
             jnp.where(on[..., None, None], s_c, 0.0)
         )
@@ -220,21 +235,20 @@ def tree_solve(
         on = act[:, b]
         c_m = jnp.where(on[:, None, None], bone_coup[:, b], 0.0)
         dc_inv = _inv3(d[:, c_idx])
-        cdinv = c_m @ dc_inv  # [P, 3, 3]
-        d = d.at[:, p_idx].add(-(cdinv @ c_m))
-        r = r.at[:, p_idx].add(-jnp.einsum("pij,pj->pi", cdinv, r[:, c_idx]))
+        cdinv = _m3(c_m, dc_inv)  # [P, 3, 3]
+        d = d.at[:, p_idx].add(-_m3(cdinv, c_m))
+        r = r.at[:, p_idx].add(-_mv3(cdinv, r[:, c_idx]))
 
     # Backward: roots directly, then children in reverse order.
     d_inv = _inv3(d)  # [P, K, 3, 3] (children's blocks are as-at-elimination)
-    x = jnp.einsum("pkij,pkj->pki", d_inv, r)
+    x = _mv3(d_inv, r)
     for b in ELIMINATION_ORDER.tolist()[::-1]:
         p_idx, c_idx = int(skeleton.BONE_I[b]), int(skeleton.BONE_J[b])
         on = act[:, b]
         c_m = jnp.where(on[:, None, None], bone_coup[:, b], 0.0)
-        xc = jnp.einsum(
-            "pij,pj->pi",
+        xc = _mv3(
             d_inv[:, c_idx],
-            r[:, c_idx] - jnp.einsum("pij,pj->pi", c_m, x[:, p_idx]),
+            r[:, c_idx] - _mv3(c_m, x[:, p_idx]),
         )
         x = x.at[:, c_idx].set(jnp.where(on[:, None], xc, x[:, c_idx]))
 
@@ -247,10 +261,8 @@ def tree_solve(
         p_idx, c_idx = int(skeleton.BONE_I[b]), int(skeleton.BONE_J[b])
         on = act[:, b]
         c_m = jnp.where(on[:, None, None], bone_coup[:, b], 0.0)
-        k_m = d_inv[:, c_idx] @ c_m  # [P, 3, 3]
-        s_c = d_inv[:, c_idx] + k_m @ sigma[:, p_idx] @ jnp.swapaxes(
-            k_m, -1, -2
-        )
+        k_m = _m3(d_inv[:, c_idx], c_m)
+        s_c = d_inv[:, c_idx] + _m3t(_m3(k_m, sigma[:, p_idx]), k_m)
         sigma = sigma.at[:, c_idx].set(
             jnp.where(on[:, None, None], s_c, sigma[:, c_idx])
         )

@@ -241,6 +241,49 @@ def build_graph_inputs(persons: Persons3D, cfg: PriorConfig) -> GraphInputs:
     )
 
 
+def _residual_terms(
+    x: jnp.ndarray,
+    g_in: GraphInputs,
+    bone_len: jnp.ndarray,
+    bone_w: jnp.ndarray,
+    bi: jnp.ndarray,
+    bj: jnp.ndarray,
+):
+    """Shared residual ingredients for the dense / tree linearizations and
+    the error evaluation: whitened unary residuals, bone directions and
+    whitened bone residuals, and the total error.
+
+    Returns (w_r [P,K,3], act [P,K], err [P], u [P,B,3], r_b [P,B],
+    wb [P,B])."""
+    dtype = x.dtype
+    # Unary factors: r = x - m, whitened by inv_cov.
+    r_u = x - g_in.meas  # [P, K, 3]
+    w_r = linalg.heinsum("pkij,pkj->pki", g_in.inv_cov, r_u)
+    act = g_in.active.astype(dtype)
+    err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
+    # Bone range factors: r = ||xi - xj|| - L along the unit direction u.
+    d = x[:, bi] - x[:, bj]
+    n = jnp.linalg.norm(d, axis=-1)
+    safe = n > 1e-12
+    u = d / jnp.where(safe, n, 1.0)[..., None]
+    r_b = jnp.where(safe, n, 0.0) - bone_len  # [P, B]
+    wb = g_in.bone_active.astype(dtype) * bone_w  # [P, B] = 1/sigma^2
+    err = err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
+    return w_r, act, err, u, r_b, wb
+
+
+def _signed_incidence(bi: jnp.ndarray, bj: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Static signed incidence S[b, k] = +1 at bi[b], -1 at bj[b]."""
+    b_cnt = bi.shape[0]
+    return (
+        jnp.zeros((b_cnt, _K), dtype)
+        .at[jnp.arange(b_cnt), bi]
+        .add(1.0)
+        .at[jnp.arange(b_cnt), bj]
+        .add(-1.0)
+    )
+
+
 def _linearize(
     x: jnp.ndarray,
     g_in: GraphInputs,
@@ -256,38 +299,18 @@ def _linearize(
     LM iteration cost on TPU; the incidence form is two tiny contractions).
     """
     dtype = x.dtype
-
-    # Unary factors: r = x - m, whitened by inv_cov.
-    r_u = x - g_in.meas  # [P, K, 3]
-    w_r = linalg.heinsum("pkij,pkj->pki", g_in.inv_cov, r_u)
-    act = g_in.active.astype(dtype)
-    err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
+    w_r, act, err, u, r_b, wb = _residual_terms(
+        x, g_in, bone_len, bone_w, bi, bj
+    )
     g = act[..., None] * w_r  # [P, K, 3]
     # Diagonal blocks: the measured joints' information matrices; unmeasured
     # joints keep their decoupled unit anchor (build_graph_inputs stores
     # identity there) — masking them to zero would make H singular and the
     # float32 factorization NaN out.
-    h_diag = g_in.inv_cov  # [P, K, 3, 3]
     eye_k = jnp.eye(_K, dtype=dtype)
-    h = linalg.heinsum("kl,pkij->pkilj", eye_k, h_diag)
+    h = linalg.heinsum("kl,pkij->pkilj", eye_k, g_in.inv_cov)
 
-    # Bone range factors: r = ||xi - xj|| - L, J = S^T u with the signed
-    # incidence matrix S[b, k] = +1 at bi, -1 at bj.
-    inc = (
-        jnp.zeros((bi.shape[0], _K), dtype)
-        .at[jnp.arange(bi.shape[0]), bi]
-        .add(1.0)
-        .at[jnp.arange(bj.shape[0]), bj]
-        .add(-1.0)
-    )
-    d = x[:, bi] - x[:, bj]
-    n = jnp.linalg.norm(d, axis=-1)
-    safe = n > 1e-12
-    u = d / jnp.where(safe, n, 1.0)[..., None]
-    r_b = jnp.where(safe, n, 0.0) - bone_len  # [P, B]
-    wb = g_in.bone_active.astype(dtype) * bone_w  # [P, B] = 1/sigma^2
-    err = err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
-
+    inc = _signed_incidence(bi, bj, dtype)
     g_b = (wb * r_b)[..., None] * u  # [P, B, 3]
     g = g + linalg.heinsum("bk,pbi->pki", inc, g_b)
 
@@ -304,16 +327,7 @@ def _error_only(
     bi: jnp.ndarray,
     bj: jnp.ndarray,
 ) -> jnp.ndarray:
-    dtype = x.dtype
-    r_u = x - g_in.meas
-    w_r = linalg.heinsum("pkij,pkj->pki", g_in.inv_cov, r_u)
-    act = g_in.active.astype(dtype)
-    err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
-    d = x[:, bi] - x[:, bj]
-    n = jnp.linalg.norm(d, axis=-1)
-    r_b = n - bone_len
-    wb = g_in.bone_active.astype(dtype) * bone_w
-    return err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
+    return _residual_terms(x, g_in, bone_len, bone_w, bi, bj)[2]
 
 
 def _linearize_tree(
@@ -333,31 +347,14 @@ def _linearize_tree(
     err [P]).
     """
     dtype = x.dtype
-
-    r_u = x - g_in.meas
-    w_r = linalg.heinsum("pkij,pkj->pki", g_in.inv_cov, r_u)
-    act = g_in.active.astype(dtype)
-    err = 0.5 * jnp.sum(act * linalg.heinsum("pki,pki->pk", r_u, w_r), axis=-1)
+    w_r, act, err, u, r_b, wb = _residual_terms(
+        x, g_in, bone_len, bone_w, bi, bj
+    )
     g = act[..., None] * w_r
     hdiag = g_in.inv_cov  # unmeasured joints keep their unit anchors
 
-    d = x[:, bi] - x[:, bj]
-    n = jnp.linalg.norm(d, axis=-1)
-    safe = n > 1e-12
-    u = d / jnp.where(safe, n, 1.0)[..., None]
-    r_b = jnp.where(safe, n, 0.0) - bone_len
-    wb = g_in.bone_active.astype(dtype) * bone_w
-    err = err + 0.5 * jnp.sum(wb * r_b * r_b, axis=-1)
-
     # Signed / unsigned incidence (static): scatter-free MXU contractions.
-    b_cnt = bi.shape[0]
-    inc = (
-        jnp.zeros((b_cnt, _K), dtype)
-        .at[jnp.arange(b_cnt), bi]
-        .add(1.0)
-        .at[jnp.arange(b_cnt), bj]
-        .add(-1.0)
-    )
+    inc = _signed_incidence(bi, bj, dtype)
     inc2 = jnp.abs(inc)
 
     g_b = (wb * r_b)[..., None] * u  # [P, B, 3]
