@@ -75,6 +75,10 @@ def main(argv=None):
     parser.add_argument("--jsonl", type=str, default=None,
                         help="replay a recorded JSONL through the native "
                              "approximate-time synchronizer")
+    parser.add_argument("--record-jsonl", type=str, default=None,
+                        help="record the (synthetic) scene as a JSONL "
+                             "message stream (the bag-recording equivalent; "
+                             "replay it with --jsonl)")
     parser.add_argument("--live", type=str, default=None,
                         help="write an animated operator dashboard of the "
                              "replay (.gif or scrubbable .html)")
@@ -96,9 +100,22 @@ def main(argv=None):
         args.cameras, args.people, args.frames, args.seed
     )
 
-    if args.jsonl:
+    if args.record_jsonl:
         from smartedgesensor3dhumanpose_tpu.io import replay as replay_lib
 
+        replay_lib.save_jsonl(args.record_jsonl, scene)
+        print(f"scene recorded to {args.record_jsonl}")
+
+    if args.jsonl:
+        import os
+
+        from smartedgesensor3dhumanpose_tpu.io import replay as replay_lib
+
+        if not os.path.exists(args.jsonl):
+            parser.error(
+                f"--jsonl: no such recording: {args.jsonl} "
+                "(create one with --record-jsonl)"
+            )
         packed = list(
             replay_lib.replay_jsonl(
                 args.jsonl, args.cameras, args.people
