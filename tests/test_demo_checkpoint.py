@@ -155,10 +155,11 @@ def test_demo_cli_smoke(tmp_path, capsys):
     from smartedgesensor3dhumanpose_tpu import demo
 
     out_npz = os.path.join(tmp_path, "out.npz")
+    rec = os.path.join(tmp_path, "rec.jsonl")
     demo.main(
         [
             "--cameras", "6", "--people", "2", "--frames", "12",
-            "--save", out_npz,
+            "--save", out_npz, "--record-jsonl", rec,
         ]
     )
     captured = capsys.readouterr().out
@@ -166,3 +167,21 @@ def test_demo_cli_smoke(tmp_path, capsys):
     assert os.path.exists(out_npz)
     with np.load(out_npz) as z:
         assert z["fused_xyz"].shape[0] == 12
+
+    # Replay the recording back through the synchronizer (rosbag play
+    # equivalent); same shapes, same pipeline.
+    assert os.path.getsize(rec) > 0
+    demo.main(
+        [
+            "--cameras", "6", "--people", "2", "--frames", "12",
+            "--jsonl", rec,
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert "replayed" in captured and "fused frames/s" in captured
+
+    # Missing recordings are an argparse error, not a traceback.
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        demo.main(["--jsonl", os.path.join(tmp_path, "nope.jsonl")])
