@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from smartedgesensor3dhumanpose_tpu.ops import linalg
@@ -178,7 +179,11 @@ def pairwise_association_costs(
     l10 = line(F[..., 0, 0], F[..., 0, 1], F[..., 0, 2], x, y)
     l11 = line(F[..., 1, 0], F[..., 1, 1], F[..., 1, 2], x, y)
     l12 = line(F[..., 2, 0], F[..., 2, 1], F[..., 2, 2], x, y)
-    n1 = jnp.sqrt(l10**2 + l11**2)  # [C1, D1, C2, J]
+    den1 = l10**2 + l11**2  # [C1, D1, C2, J]
+    # Guarded rsqrt: one op instead of sqrt+divide (this reduction is the
+    # VPU-bound part of the frame); degenerate zero-norm lines keep the
+    # raw |numerator| like the division path did.
+    inv1 = jnp.where(den1 > 0, jax.lax.rsqrt(den1), 1.0)
 
     # Line of (c2, d2, j) back in camera c1: l2 = F[c1, c2]^T @ [x2, y2, 1];
     # componentwise, shapes [C1, C2, D2, J].
@@ -192,7 +197,8 @@ def pairwise_association_costs(
     l20 = linet(F[..., 0, 0], F[..., 1, 0], F[..., 2, 0], x, y)
     l21 = linet(F[..., 0, 1], F[..., 1, 1], F[..., 2, 1], x, y)
     l22 = linet(F[..., 0, 2], F[..., 1, 2], F[..., 2, 2], x, y)
-    n2 = jnp.sqrt(l20**2 + l21**2)  # [C1, C2, D2, J]
+    den2 = l20**2 + l21**2  # [C1, C2, D2, J]
+    inv2 = jnp.where(den2 > 0, jax.lax.rsqrt(den2), 1.0)
 
     # num1[c1,d1,c2,d2,j] = p2 . l1, num2 = p1 . l2 (reference :357-360).
     num1 = (
@@ -205,9 +211,10 @@ def pairwise_association_costs(
         + y[:, :, None, None, :] * l21[:, None, :, :, :]
         + l22[:, None, :, :, :]
     )
-    d = jnp.abs(num1) / jnp.where(n1 > 0, n1, 1.0)[:, :, :, None, :] + jnp.abs(
-        num2
-    ) / jnp.where(n2 > 0, n2, 1.0)[:, None, :, :, :]
+    d = (
+        jnp.abs(num1) * inv1[:, :, :, None, :]
+        + jnp.abs(num2) * inv2[:, None, :, :, :]
+    )
 
     both_ok = conf_ok[:, :, None, None, :] & conf_ok[None, None, :, :, :]
     n_joints = jnp.sum(both_ok, axis=-1)  # [C1, D1, C2, D2]
