@@ -302,26 +302,29 @@ def _merge_tracks(
     world = est * height_prev[:, None, None] + root_prev[:, None, :]
     idx = jnp.arange(t_slots)
 
+    # Track positions are static during the sweep (unlike the fusion merge,
+    # nothing is averaged — only `alive` flips), so the whole [T, T]
+    # closeness matrix is computed ONCE; the sequential victim-major steps
+    # are then a handful of boolean ops each.
+    ok = est_exists[:, None] & est_exists[None, :]  # [T, T, K]
+    d = jnp.linalg.norm(world[:, None] - world[None], axis=-1)
+    n = jnp.sum(ok, axis=-1)
+    mean_d = jnp.sum(jnp.where(ok, d, 0.0), axis=-1) / jnp.maximum(n, 1)
+    close_mat = (
+        (idx[:, None] < idx[None, :])  # keeper i strictly before victim j
+        & has_dets
+        & (n > 0)
+        & (mean_d < cfg.merge_dist_thresh)
+    )  # [T(keeper), T(victim)]
+
     # Victim-major sweep, P-1 sequential steps instead of P(P-1)/2 pairs —
-    # exactly equivalent to the reference's lexicographic pair loop (track
-    # positions are static during the sweep; only `alive` flips, and a
+    # exactly equivalent to the reference's lexicographic pair loop: a
     # keeper that kills j must itself have survived rows < i, which are
-    # settled at earlier j-steps). See fusion.merge_close_persons for the
+    # settled at earlier j-steps. See fusion.merge_close_persons for the
     # ordering argument.
     def step(carry, j):
         alive, fid, pid = carry
-        ok = est_exists & est_exists[j]  # [T, K]
-        d = jnp.linalg.norm(world - world[j][None], axis=-1)
-        n = jnp.sum(ok, axis=-1)
-        mean_d = jnp.sum(jnp.where(ok, d, 0.0), axis=-1) / jnp.maximum(n, 1)
-        close = (
-            alive
-            & alive[j]
-            & (idx < j)
-            & has_dets
-            & (n > 0)
-            & (mean_d < cfg.merge_dist_thresh)
-        )
+        close = close_mat[:, j] & alive & alive[j]
         merge = jnp.any(close)
         keeper = jnp.argmax(close)
         alive = alive.at[j].set(jnp.where(merge, False, alive[j]))
@@ -336,7 +339,24 @@ def _merge_tracks(
         for j in range(1, t_slots):
             carry, _ = step(carry, j)
     else:
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, t_slots))
+        def step_xs(carry, xs):
+            # close_mat column delivered via xs to avoid a dynamic gather.
+            j, col = xs
+            alive, fid, pid = carry
+            close = col & alive & alive[j]
+            merge = jnp.any(close)
+            keeper = jnp.argmax(close)
+            alive = alive.at[j].set(jnp.where(merge, False, alive[j]))
+            removed_id = track_id[j]
+            keeper_id = track_id[keeper]
+            fid = jnp.where(merge & (fid == removed_id), keeper_id, fid)
+            pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
+            return (alive, fid, pid), None
+
+        js = jnp.arange(1, t_slots)
+        carry, _ = jax.lax.scan(
+            step_xs, carry, (js, jnp.swapaxes(close_mat, 0, 1)[1:])
+        )
     alive, fid, pid = carry
     return (
         alive,
