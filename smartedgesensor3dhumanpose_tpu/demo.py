@@ -72,6 +72,16 @@ def main(argv=None):
                              "the offline scan")
     parser.add_argument("--feed-hz", type=float, default=30.0,
                         help="producer rate for --online (sensor frame rate)")
+    parser.add_argument("--closed-loop", action="store_true",
+                        help="close the semantic-feedback loop through "
+                             "virtual edge sensors: fb_delay is MEASURED "
+                             "from each frame's reprojection feedback "
+                             "round-trip instead of the open-loop constant")
+    parser.add_argument("--loop-network-latency", type=float, default=0.03,
+                        help="sensor downlink latency (s) for --closed-loop")
+    parser.add_argument("--loop-processing-latency", type=float, default=0.05,
+                        help="capture->feedback-emission latency (s) for "
+                             "--closed-loop")
     parser.add_argument("--jsonl", type=str, default=None,
                         help="replay a recorded JSONL through the native "
                              "approximate-time synchronizer")
@@ -116,6 +126,10 @@ def main(argv=None):
                 f"--jsonl: no such recording: {args.jsonl} "
                 "(create one with --record-jsonl)"
             )
+
+    if args.jsonl and not args.online:
+        from smartedgesensor3dhumanpose_tpu.io import replay as replay_lib
+
         packed = list(
             replay_lib.replay_jsonl(
                 args.jsonl, args.cameras, args.people
@@ -137,7 +151,79 @@ def main(argv=None):
     state = pipe.init_state()
     buckets = timing.TimingBuckets("Pipeline")
 
-    if args.online:
+    if args.closed_loop:
+        # Closed feedback loop (BASELINE.json configs[2]): virtual edge
+        # sensors receive each frame's Reprojection2D (with the echoed
+        # original stamps, skeleton_reproj_mult_node.cpp:157-159,233-234),
+        # measure fb_delay = arrival - orig_stamp, and feed it into the next
+        # frame — the tracker's prediction horizon converges to the real
+        # loop latency instead of assuming 0.1 s.
+        from smartedgesensor3dhumanpose_tpu.io import sensors as sensors_lib
+
+        sensors = sensors_lib.VirtualSensorArray(
+            args.cameras, network_latency=args.loop_network_latency
+        )
+        # Warm up with a throwaway state (the jitted step donates its state
+        # argument on TPU).
+        _, out0 = pipe.step(
+            pipe.init_state(), jax.tree.map(lambda a: a[0], frames)
+        )
+        jax.block_until_ready(out0)
+        t0 = time.perf_counter()
+        final_state, last, report = sensors_lib.run_closed_loop(
+            pipe.step,
+            state,
+            frames,
+            sensors,
+            processing_latency=args.loop_processing_latency,
+        )
+        dt = time.perf_counter() - t0
+        loop_latency = args.loop_processing_latency + args.loop_network_latency
+        for _ in range(n):
+            buckets.add(dt / n, 0)
+        print(
+            f"closed loop: {n} frames, {report.n_feedback_received} feedback "
+            f"deliveries; injected loop latency "
+            f"{loop_latency * 1e3:.0f} ms -> pred_delta_t converged to "
+            f"{report.pred_delta_t[-1] * 1e3:.1f} ms "
+            f"(start {report.pred_delta_t[0] * 1e3:.1f} ms)"
+        )
+        outs = None
+    elif args.online and args.jsonl:
+        # FULL live topology in one process (reference
+        # skeleton_3d_triang_mult_node.cpp:999-1025,1216-1224): raw
+        # per-camera JSONL messages -> native ApproximateTimeSync ->
+        # latest-wins slot -> jitted device step, with sync-stage and
+        # slot-stage drop accounting.
+        from smartedgesensor3dhumanpose_tpu import online
+        from smartedgesensor3dhumanpose_tpu.io import replay as replay_lib
+
+        _, out = pipe.step(
+            pipe.init_state(), jax.tree.map(lambda a: a[0], frames)
+        )
+        jax.block_until_ready(out)
+
+        final_state, last, report = online.run_online_synced(
+            pipe.step,
+            state,
+            list(replay_lib.load_jsonl_messages(args.jsonl)),
+            num_cameras=args.cameras,
+            max_dets=args.people,
+            message_interval_s=1.0 / (args.feed_hz * args.cameras),
+        )
+        for ms in report.step_ms:
+            buckets.add(ms / 1e3, 0)
+        print(
+            f"online+sync: {report.produced_messages} messages -> "
+            f"{report.frames_synced} synchronized frames "
+            f"({report.messages_unconsumed} messages unconsumed at sync), "
+            f"{report.processed_frames} stepped, {report.slot_dropped} "
+            f"dropped at the slot (latest-wins); p50 step "
+            f"{report.step_ms_p50:.2f} ms, p50 sync-input->output "
+            f"{report.e2e_ms_p50:.2f} ms"
+        )
+        outs = None
+    elif args.online:
         # Latest-wins producer/consumer loop (reference worker handoff,
         # skeleton_3d_triang_mult_node.cpp:999-1025): a producer thread
         # feeds synchronized frames at --feed-hz into the native LatestSlot;
@@ -145,7 +231,9 @@ def main(argv=None):
         # frames are dropped, keeping output fresh under compute overload.
         from smartedgesensor3dhumanpose_tpu import online
 
-        _, out = pipe.step(state, jax.tree.map(lambda a: a[0], frames))
+        _, out = pipe.step(
+            pipe.init_state(), jax.tree.map(lambda a: a[0], frames)
+        )
         jax.block_until_ready(out)
 
         final_state, last, report = online.run_online(
@@ -197,12 +285,23 @@ def main(argv=None):
     if args.viz:
         from smartedgesensor3dhumanpose_tpu import viz
 
-        viz.render_frame_summary(last, scene["rig"], args.viz)
+        viz.render_frame_summary(
+            last,
+            scene["rig"],
+            args.viz,
+            input_frame=(
+                jax.tree.map(lambda a: a[-1], frames)
+                if outs is not None
+                else None
+            ),
+        )
         print(f"dashboard written to {args.viz}")
     if args.live and outs is not None:
         from smartedgesensor3dhumanpose_tpu import viz
 
-        viz.render_live_dashboard(outs, scene["rig"], args.live)
+        viz.render_live_dashboard(
+            outs, scene["rig"], args.live, input_frames=frames
+        )
         print(f"live dashboard written to {args.live}")
     elif args.live:
         print(

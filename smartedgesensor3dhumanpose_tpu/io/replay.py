@@ -111,11 +111,15 @@ class SynchronizedReplay:
 
     def push(self, camera: int, stamp_s: float, fb_delay: float, persons):
         """persons: list of {score, keypoints [J,3], cov [J,3]} dicts or a
-        (kp2d [D,J,3], cov2d [D,J,3], score [D]) tuple."""
+        (kp2d [D,J,3], cov2d [D,J,3], score [D]) tuple.
+
+        Returns the opaque message handle (lets live callers track
+        per-message arrival times, see online.run_online_synced)."""
         handle = self._next_handle
         self._next_handle += 1
         self._store[handle] = (fb_delay, persons)
         self.sync.push(camera, int(round(stamp_s * 1e9)), handle)
+        return handle
 
     def pop_frames(self) -> Iterator[dict]:
         """Drain synchronized sets as padded frame dicts."""
@@ -158,6 +162,10 @@ class SynchronizedReplay:
             "det_valid": det_valid,
             "cam_stamp": np.asarray(stamps, np.float64) * 1e-9,
             "fb_delay": fb_delay,
+            # The contributing message handles (one per camera) — live
+            # consumers use them to attribute arrival times; Frame
+            # construction ignores the key.
+            "handles": list(handles),
         }
 
 

@@ -42,6 +42,22 @@ class SceneConfig:
     shuffle_detections: bool = True
     # 17-joint layout emitted: "simple" (COCO order) or "h36m".
     pose_method: str = "simple"
+    # ---- adversarial detector noise (all off by default) ----
+    # False positives: extra ghost-detection slots per camera, each occupied
+    # with this probability per frame. A ghost is a plausible-looking
+    # skeleton visible in ONE camera only (no cross-view consistency) — the
+    # input the reference's veto accumulation exists to reject
+    # (skeleton_3d_triang_mult_node.cpp:344-381).
+    num_ghost_slots: int = 0
+    ghost_rate: float = 0.0
+    # Identity-swap noise: probability per (frame, camera) that a random
+    # subset of joints is exchanged between two detections (detector
+    # cross-person confusion; stresses per-joint outlier rejection).
+    identity_swap_rate: float = 0.0
+    # Correlated occlusions: this many events, each hiding one person from a
+    # contiguous arc of ~1/3 of the cameras for a multi-frame window
+    # (structural, not i.i.d., dropout).
+    occlusion_events: int = 0
     seed: int = 0
 
 
@@ -196,6 +212,17 @@ def generate_scene(cfg: SceneConfig, rig: Optional[CameraRig] = None):
     det_drop = rng.uniform(size=(t, c, p)) < cfg.detection_dropout
 
     visible = in_img & ~kp_drop & ~det_drop[..., None]
+
+    # Correlated occlusions: person x camera-arc x frame-window blocks.
+    for _ in range(cfg.occlusion_events):
+        pi = int(rng.integers(0, p))
+        f0 = int(rng.integers(0, max(1, t - 4)))
+        dur = int(rng.integers(4, min(16, t - f0) + 1))
+        c0 = int(rng.integers(0, c))
+        arc = max(1, c // 3)
+        cams = (c0 + np.arange(arc)) % c
+        visible[f0 : f0 + dur, cams, pi, :] = False
+
     kp2d[..., 0] = np.where(visible, px + noise[..., 0], 0.0)
     kp2d[..., 1] = np.where(visible, py + noise[..., 1], 0.0)
     kp2d[..., 2] = np.where(visible, conf, 0.0)
@@ -204,18 +231,97 @@ def generate_scene(cfg: SceneConfig, rig: Optional[CameraRig] = None):
     cov2d[..., 0] = np.where(visible, sigma**2, 0.0)
     cov2d[..., 2] = np.where(visible, sigma**2, 0.0)
 
+    # Identity-swap noise: exchange a random joint subset between two
+    # detections of the same camera (before scores are derived).
+    if cfg.identity_swap_rate > 0 and p >= 2:
+        for ti in range(t):
+            for ci in range(c):
+                if rng.uniform() >= cfg.identity_swap_rate:
+                    continue
+                cand = np.nonzero(visible[ti, ci].any(axis=-1))[0]
+                if cand.size < 2:
+                    continue
+                a, b = rng.choice(cand, size=2, replace=False)
+                jsel = rng.uniform(size=17) < rng.uniform(0.2, 0.6)
+                if not jsel.any():
+                    continue
+                for arr in (kp2d, cov2d):
+                    tmp = arr[ti, ci, a, jsel].copy()
+                    arr[ti, ci, a, jsel] = arr[ti, ci, b, jsel]
+                    arr[ti, ci, b, jsel] = tmp
+                tmp = visible[ti, ci, a, jsel].copy()
+                visible[ti, ci, a, jsel] = visible[ti, ci, b, jsel]
+                visible[ti, ci, b, jsel] = tmp
+
     det_valid[:] = np.sum(visible, axis=-1) > 0
-    # Person score: mean confidence of visible joints.
+    # Person score: mean confidence of valid joints.
     with np.errstate(invalid="ignore"):
-        mean_conf = np.sum(np.where(visible, conf, 0.0), axis=-1) / np.maximum(
-            np.sum(visible, axis=-1), 1
-        )
+        conf_now = kp2d[..., 2]
+        mean_conf = np.sum(
+            np.where(visible, conf_now, 0.0), axis=-1
+        ) / np.maximum(np.sum(visible, axis=-1), 1)
     det_score[:] = np.where(det_valid, mean_conf, 0.0).astype(np.float32)
+
+    # False positives: ghost skeletons visible in exactly one camera.
+    if cfg.num_ghost_slots > 0:
+        g = cfg.num_ghost_slots
+        g_kp = np.zeros((t, c, g, 17, 3), np.float32)
+        g_cov = np.zeros((t, c, g, 17, 3), np.float32)
+        g_valid = rng.uniform(size=(t, c, g)) < cfg.ghost_rate
+        g_score = np.zeros((t, c, g), np.float32)
+        ax, ay = cfg.area
+        for ti in range(t):
+            for ci in range(c):
+                for gi in range(g):
+                    if not g_valid[ti, ci, gi]:
+                        continue
+                    root = np.array([
+                        rng.uniform(-ax / 2, ax / 2),
+                        rng.uniform(-ay / 2, ay / 2),
+                        _HIP_HEIGHT,
+                    ])
+                    joints = root + _COCO_POSE * rng.uniform(0.9, 1.1)
+                    if cfg.pose_method == "h36m":
+                        joints = _coco_to_h36m(joints)
+                    jh = np.concatenate([joints, np.ones((17, 1))], axis=-1)
+                    cp = jh @ P_mat[ci].T
+                    z = cp[:, 2]
+                    ok = z > 0.1
+                    with np.errstate(all="ignore"):
+                        gx = K[ci, 0] * cp[:, 0] / z + K[ci, 2]
+                        gy = K[ci, 1] * cp[:, 1] / z + K[ci, 3]
+                    ok &= (
+                        (gx >= 0) & (gx < size[ci, 0])
+                        & (gy >= 0) & (gy < size[ci, 1])
+                    )
+                    if ok.sum() <= 17 // 2:  # too few joints to matter
+                        g_valid[ti, ci, gi] = False
+                        continue
+                    gc = rng.uniform(*cfg.conf_range, size=17).astype(
+                        np.float32
+                    )
+                    g_kp[ti, ci, gi, :, 0] = np.where(
+                        ok, gx + rng.normal(0, cfg.pixel_noise, 17), 0.0
+                    )
+                    g_kp[ti, ci, gi, :, 1] = np.where(
+                        ok, gy + rng.normal(0, cfg.pixel_noise, 17), 0.0
+                    )
+                    g_kp[ti, ci, gi, :, 2] = np.where(ok, gc, 0.0)
+                    g_cov[ti, ci, gi, :, 0] = np.where(ok, sigma**2, 0.0)
+                    g_cov[ti, ci, gi, :, 2] = np.where(ok, sigma**2, 0.0)
+                    g_score[ti, ci, gi] = gc[ok].mean()
+        kp2d = np.concatenate([kp2d, g_kp], axis=2)
+        cov2d = np.concatenate([cov2d, g_cov], axis=2)
+        det_valid = np.concatenate([det_valid, g_valid], axis=2)
+        det_score = np.concatenate([det_score, g_score], axis=2)
+        p_total = p + g
+    else:
+        p_total = p
 
     if cfg.shuffle_detections:
         for ti in range(t):
             for ci in range(c):
-                perm = rng.permutation(p)
+                perm = rng.permutation(p_total)
                 kp2d[ti, ci] = kp2d[ti, ci, perm]
                 cov2d[ti, ci] = cov2d[ti, ci, perm]
                 det_valid[ti, ci] = det_valid[ti, ci, perm]
@@ -223,6 +329,12 @@ def generate_scene(cfg: SceneConfig, rig: Optional[CameraRig] = None):
 
     nominal = times[:, None] + np.zeros((t, c))
     cam_stamp = nominal + rng.normal(0, cfg.stamp_jitter, size=(t, c))
+    # OPEN-loop placeholder feedback delay (nominal 0.1 s, the reference's
+    # assumed default, skeleton_3d_triang_mult_node.cpp:63). The genuine
+    # closed-loop path measures this instead: io.sensors.VirtualSensorArray
+    # receives each frame's Reprojection2D feedback and overrides fb_delay
+    # with the sensor-measured round-trip (demo --closed-loop /
+    # io.sensors.run_closed_loop).
     fb_delay = np.full((t, c), 0.1, np.float32) + rng.normal(
         0, 0.01, size=(t, c)
     ).astype(np.float32)
