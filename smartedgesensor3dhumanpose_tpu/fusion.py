@@ -55,6 +55,10 @@ class HypothesisSet(NamedTuple):
     cam_mask: jnp.ndarray  # [H, C] bool
     obs_score: jnp.ndarray  # [H, C] per-observation person score
     n_hyp: jnp.ndarray     # [] int32 live hypothesis count
+    # Spawns silently lost to the fixed slot capacity (the reference grows
+    # its hypothesis vector unboundedly, :662-673; here overflow is counted
+    # so the monitor can warn instead of losing people invisibly).
+    n_dropped: jnp.ndarray  # [] int32
 
 
 class _AssocCarry(NamedTuple):
@@ -68,6 +72,7 @@ class _AssocCarry(NamedTuple):
     det_slot: jnp.ndarray  # [H, C] int32, -1 where camera not in hypothesis
     cam_mask: jnp.ndarray  # [H, C] bool
     n_hyp: jnp.ndarray     # [] int32 live hypothesis count
+    n_dropped: jnp.ndarray  # [] int32 spawns dropped (capacity overflow)
 
 
 def _associate_camera(
@@ -235,6 +240,10 @@ def _associate_camera(
         det_slot=det_slot,
         cam_mask=cam_mask,
         n_hyp=jnp.minimum(n2, h).astype(jnp.int32),
+        # n0 is already clipped to h, so this step's overflow is n2 - h.
+        n_dropped=(
+            carry.n_dropped + jnp.maximum(n2 - h, 0)
+        ).astype(jnp.int32),
     )
 
 
@@ -270,26 +279,36 @@ def associate(
     h = config.max_hypotheses
     dtype = kp_n.dtype
 
-    # [C1, D1, C2, D2] per-observation costs, folded with the masks the
-    # scan step needs into four tables (see _associate_camera): the step's
-    # whole cost/veto assembly then reduces to one stacked matmul against
-    # the hypotheses' one-hot observation identities.
-    pair_cost, pair_usable = epipolar.pairwise_association_costs(
+    # Pair-packed per-observation costs (C(C-1)/2 unordered pairs — the
+    # greedy scan only ever pairs an earlier-camera observation with the
+    # current camera's detections, so the lower triangle never exists),
+    # folded with the masks the scan step needs into four tables (see
+    # _associate_camera): the step's whole cost/veto assembly then reduces
+    # to one stacked matmul against the hypotheses' one-hot observation
+    # identities. The tables are scattered DIRECTLY into the
+    # [C2, 4, C1*D1, D2] scan layout — the dense ordered [C,D,C,D] tensor
+    # (67 MB at 64x32) never materializes.
+    cost_p, usable_p, iu, ju = epipolar.pairwise_association_costs_packed(
         kp_n, rig.F, config.min_kp_score
-    )
-    u = pair_usable.astype(dtype)
-    big = (pair_cost > config.max_epipolar_error).astype(dtype) * u
+    )  # [Np, D1(obs cam iu), D2(det cam ju)]
+    u = usable_p.astype(dtype)
+    big = (cost_p > config.max_epipolar_error).astype(dtype) * u
     conf = (det_score > 0.5).astype(dtype)  # [C, D] voting right (:352)
-    tables = jnp.stack(
-        [pair_cost * u, u, big * conf[:, :, None, None], big]
-    )  # [4, C1, D1, C2, D2]
-    # [C2, 4, C1*D1, D2]: the scan over the current camera slices axis 0.
-    tables = jnp.moveaxis(tables, 3, 0).reshape(c, 4, c * d, d)
+    tables_p = jnp.stack(
+        [cost_p * u, u, big * conf[iu][:, :, None], big], axis=1
+    )  # [Np, 4, D1, D2]
+    tables = (
+        jnp.zeros((c, 4, c, d, d), dtype)
+        .at[ju, :, iu]
+        .set(tables_p)
+        .reshape(c, 4, c * d, d)
+    )  # [C2, 4, C1*D1, D2]: the scan over the current camera slices axis 0.
 
     carry0 = _AssocCarry(
         det_slot=jnp.full((h, c), -1, jnp.int32),
         cam_mask=jnp.zeros((h, c), bool),
         n_hyp=jnp.zeros((), jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
     )
 
     if unroll_cameras:
@@ -332,13 +351,15 @@ def associate(
         cam_mask=on,
         obs_score=obs_score,
         n_hyp=carry.n_hyp,
+        n_dropped=carry.n_dropped,
     )
 
 
 def _select_outlier_drops(
     err0: jnp.ndarray,
     k: jnp.ndarray,
-    pair_d2: jnp.ndarray,
+    rem_d2: jnp.ndarray,
+    idx3: jnp.ndarray,
     loo_err: jnp.ndarray,
     view_mask: jnp.ndarray,
     config: FusionConfig,
@@ -348,7 +369,10 @@ def _select_outlier_drops(
     Args:
       err0: [...] base weighted reprojection error.
       k: [...] valid view count.
-      pair_d2: [..., C, C] pairwise squared epipolar distances between views.
+      rem_d2: [..., 3] squared epipolar distance of the pair remaining after
+        dropping each of the first three valid views
+        (ops.epipolar.three_view_drop_scores; consumed only where k == 3).
+      idx3: [..., 3] the first three valid view indices.
       loo_err: [..., C] reprojection error of the leave-view-c-out solution.
       view_mask: [..., C] bool.
 
@@ -360,16 +384,14 @@ def _select_outlier_drops(
 
     # --- exactly 3 views (:748-792): drop the view whose removal leaves the
     # smallest pairwise epipolar distance between the remaining two; accept
-    # only if it beats err0^2 (the reference's initialization).
-    total_pairs = jnp.sum(jnp.triu(pair_d2), axis=(-1, -2))
-    remaining_d2 = total_pairs[..., None] - jnp.sum(pair_d2, axis=-1)
-    remaining_d2 = jnp.where(view_mask, remaining_d2, big)
-    best3 = jnp.argmin(remaining_d2, axis=-1).astype(jnp.int32)
-    best3_val = jnp.take_along_axis(
-        remaining_d2, best3[..., None], axis=-1
-    )[..., 0]
+    # only if it beats err0^2 (the reference's initialization). idx3 is
+    # ascending, so slot-argmin tie-breaks toward the lowest camera index
+    # exactly like the reference's in-order sweep.
+    slot3 = jnp.argmin(rem_d2, axis=-1)
+    best3 = jnp.take_along_axis(idx3, slot3[..., None], axis=-1)[..., 0]
+    best3_val = jnp.take_along_axis(rem_d2, slot3[..., None], axis=-1)[..., 0]
     # The reference casts err^2 to float for the initial bestDist.
-    drop3 = jnp.where(best3_val < (err0 * err0), best3, -1)
+    drop3 = jnp.where(best3_val < (err0 * err0), best3.astype(jnp.int32), -1)
 
     # --- 4+ views (:793-838): keep the leave-one-out solution if its error
     # improves on all tried so far AND is at least 10% better than err0.
@@ -411,21 +433,35 @@ def triangulate_hypotheses(
     view_mask = hyps.cam_mask[:, None, :] & (conf >= config.min_kp_score)
     k = jnp.sum(view_mask, axis=-1)  # [H, J]
 
-    # Base triangulation (weighted) + error.
-    xyz0, err0 = triangulation.triangulate_with_error(
+    # Base triangulation (weighted) + error, built from per-view normal
+    # matrix contributions so the leave-one-out batch below is a cheap
+    # subtraction (T_c never rebuilt per drop candidate: the O(H*J*C*C)
+    # coefficient tensors of a from-scratch rebuild do not materialize).
+    T = triangulation.view_contribs(
         P, kp_hj, view_mask, weight_by_conf=True
-    )
+    )  # [H, J, C, 4, 4]
+    M0 = jnp.sum(T, axis=-3)
+    xyz0 = triangulation.solve_normal(M0, k)
+    err0 = triangulation.reprojection_error(xyz0, P, kp_hj, view_mask)
 
-    # Leave-one-out solutions for every view (used by both rejection paths).
+    # Leave-one-out solutions for every view (used by both rejection paths):
+    # A^T A without view c is exactly M0 - T_c.
     loo_mask = view_mask[..., None, :] & ~jnp.eye(c, dtype=bool)  # [H,J,C,C]
-    kp_loo = jnp.broadcast_to(kp_hj[..., None, :, :], (h, j, c, c, 3))
-    xyz_loo, err_loo = triangulation.triangulate_with_error(
-        P, kp_loo, loo_mask, weight_by_conf=True
-    )  # [H, J, C(drop)], err [H, J, C]
+    xyz_loo = triangulation.solve_normal(
+        M0[..., None, :, :] - T, jnp.sum(loo_mask, axis=-1)
+    )  # [H, J, C(drop), 3]
+    err_loo = triangulation.reprojection_error(
+        xyz_loo,
+        P,
+        jnp.broadcast_to(kp_hj[..., None, :, :], (h, j, c, c, 3)),
+        loo_mask,
+    )  # [H, J, C]
 
-    pair_d2 = epipolar.pairwise_joint_epipolar_sq(rig.F, kp_hj, view_mask)
+    rem_d2, idx3 = epipolar.three_view_drop_scores(rig.F, kp_hj, view_mask)
 
-    drop = _select_outlier_drops(err0, k, pair_d2, err_loo, view_mask, config)
+    drop = _select_outlier_drops(
+        err0, k, rem_d2, idx3, err_loo, view_mask, config
+    )
     dropped = drop >= 0
     drop_idx = jnp.where(dropped, drop, 0)
 
@@ -708,10 +744,14 @@ def fuse_frame(
     config: FusionConfig,
     unroll_cameras: bool = False,
     sharding_hook=None,
+    with_stats: bool = False,
 ) -> Persons3D:
     """Full fusion of one synchronized frame: normalize -> associate ->
     triangulate -> gate -> merge (the whole skeleton_3d node per-frame
     path).
+
+    with_stats: also return the [] int32 count of hypothesis spawns dropped
+    because the fixed slot capacity overflowed — i.e. `(persons, n_dropped)`.
 
     sharding_hook: optional callable (tag, pytree) -> pytree applied at the
     stage boundaries so a caller can place GSPMD sharding constraints without
@@ -754,4 +794,7 @@ def fuse_frame(
     n_obs = jnp.sum(hyps.cam_mask, axis=-1)
     persons = persons._replace(valid=persons.valid & active & (n_obs >= 2))
     persons = hook("persons", persons)
-    return merge_close_persons(persons, config)
+    merged = merge_close_persons(persons, config)
+    if with_stats:
+        return merged, hyps.n_dropped
+    return merged

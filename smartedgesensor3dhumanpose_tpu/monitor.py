@@ -97,13 +97,35 @@ class PipelineMonitor:
         return process
 
     def check_output(self, out) -> None:
-        """Post-step events: new tracks (the published id set grew)."""
+        """Post-step events: new tracks (the published id set grew) and
+        fixed-slot capacity overflow (people silently lost this frame —
+        the reference grows its hypothesis/track vectors unboundedly,
+        skeleton_3d_triang_mult_node.cpp:662-673 /
+        pose_prior_mult_node.cpp:570-580, so it never drops; here the
+        padded capacity must be raised when this fires)."""
         valid = np.asarray(out.fused.valid)
         ids = set(np.asarray(out.fused.person_id)[valid].tolist())
         for new in sorted(ids - self.known_ids):
             self._emit("track_published", f"track {new} now published",
                        track_id=int(new))
         self.known_ids |= ids
+        n_hyp = int(np.asarray(out.n_dropped_hypotheses))
+        if n_hyp > 0:
+            self._emit(
+                "hypothesis_overflow",
+                f"{n_hyp} hypothesis spawns dropped: frame exceeds "
+                "max_hypotheses slots; people may be missing — raise "
+                "FusionConfig.max_hypotheses",
+                n_dropped=n_hyp,
+            )
+        n_trk = int(np.asarray(out.n_dropped_track_spawns))
+        if n_trk > 0:
+            self._emit(
+                "track_overflow",
+                f"{n_trk} track spawns dropped: every track slot alive; "
+                "raise TrackerConfig.max_tracks",
+                n_dropped=n_trk,
+            )
 
     def summary(self) -> dict:
         counts: dict = {}

@@ -55,7 +55,8 @@ def triangulation_covariance(
     """
     dtype = kp.dtype
     c = kp.shape[-2]
-    k = jnp.sum(view_mask, axis=-1).astype(dtype)  # [...]
+    n_views = jnp.sum(view_mask, axis=-1)  # [...] int
+    k = n_views.astype(dtype)
     dim = 2.0 * k
     b = jnp.sqrt(dim + kappa)  # [...]
 
@@ -78,25 +79,47 @@ def triangulation_covariance(
         axis=-2,
     ) * b[..., None, None, None]
 
-    # Expand to the sample axis: sample s = 4*c + v perturbs only view c.
-    # kp_samples: [..., S, C, 3] with S = 4C (the unperturbed sample is
-    # handled separately below).
+    # Sigma point s = 4*c + v perturbs ONLY view c — so its normal matrix is
+    # the base matrix with view c's contribution swapped:
+    #   M_s = M0 + (T(kp_c + delta_{c,v}) - T(kp_c)).
+    # Built incrementally, the O(batch x 4C x C) sample keypoint / DLT
+    # coefficient tensors of a from-scratch re-triangulation never
+    # materialize — on the scaled 64-camera config that was hundreds of MB
+    # of HBM traffic per frame for what is a [batch, C, 4, 5] update.
     batch = kp.shape[:-2]
-    eye_c = jnp.eye(c, dtype=dtype)  # [C(sample cam), C(view)]
-    # delta_s[..., cs, v, cv, 2] = deltas[..., cs, v, :] if cv == cs else 0
-    delta_s = deltas[..., :, :, None, :] * eye_c[:, None, :, None]
-    delta_s = delta_s.reshape(batch + (4 * c, c, 2))
-    kp_xy = kp[..., None, :, :2] + delta_s  # [..., S, C, 2]
-    conf = jnp.broadcast_to(kp[..., None, :, 2:3], kp_xy.shape[:-1] + (1,))
-    kp_samples = jnp.concatenate([kp_xy, conf], axis=-1)
+    coeff0 = triangulation.view_coeffs(
+        P, kp, view_mask, weight_by_conf=False
+    )  # [..., C, 5]
+    const = triangulation.coeff_constants(P, dtype)  # [C, 5, 4, 4]
+    M0 = linalg.heinsum("...ck,ckij->...ij", coeff0, const)
+    t_0 = triangulation.solve_normal(M0, n_views)  # [..., 3]
 
-    mask_s = jnp.broadcast_to(view_mask[..., None, :], batch + (4 * c, c))
-    t_s = triangulation.triangulate(
-        P, kp_samples, mask_s, weight_by_conf=False, sweeps=sweeps
+    # Perturbed coefficients: kp_v[..., v, c, :] perturbs EVERY view by its
+    # variant-v delta at once; entry (c, v) is only read for the sample that
+    # perturbs view c, so the cross terms are never used.
+    kp_xy_v = kp[..., None, :, :2] + jnp.moveaxis(
+        deltas, -2, -3
+    )  # [..., 4, C, 2]
+    kp_v = jnp.concatenate(
+        [
+            kp_xy_v,
+            jnp.broadcast_to(
+                kp[..., None, :, 2:3], kp_xy_v.shape[:-1] + (1,)
+            ),
+        ],
+        axis=-1,
+    )
+    coeff_v = triangulation.view_coeffs(
+        P, kp_v, view_mask[..., None, :], weight_by_conf=False
+    )  # [..., 4, C, 5]
+    dcoeff = coeff_v - coeff0[..., None, :, :]  # [..., 4, C, 5]
+    dM = linalg.heinsum("...vck,ckij->...cvij", dcoeff, const)
+    M_s = (M0[..., None, None, :, :] + dM).reshape(
+        batch + (4 * c, 4, 4)
+    )  # sample order s = 4*c + v, matching w_s below
+    t_s = triangulation.solve_normal(
+        M_s, jnp.broadcast_to(n_views[..., None], batch + (4 * c,))
     )  # [..., S, 3]
-    t_0 = triangulation.triangulate(
-        P, kp, view_mask, weight_by_conf=False, sweeps=sweeps
-    )  # [..., 3]
 
     denom = 2.0 * (dim + kappa)  # [...]
     w_s = jnp.repeat(view_mask, 4, axis=-1).astype(dtype) / denom[..., None]

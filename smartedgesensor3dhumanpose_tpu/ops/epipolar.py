@@ -14,6 +14,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smartedgesensor3dhumanpose_tpu.ops import linalg
 
@@ -146,11 +147,18 @@ def pairwise_association_costs(
     every observation is itself one of the frame's detections. So the
     per-observation term between detection (c1, d1) and detection (c2, d2)
     (symmetric epipolar point-line distance averaged over joints confident
-    in both, reference :344-366) can be computed ONCE for the whole frame as
-    a single fused kernel, and the sequential scan reduces to cheap gathers
-    (see fusion.associate). The 3-vector dots are written componentwise so
-    XLA fuses the [C, D, C, D, J] program straight into the joint reduction
-    without materializing it.
+    in both, reference :344-366) can be computed ONCE for the whole frame.
+
+    The heavy [*, D, D, J] reduction runs only over the C(C-1)/2 UNORDERED
+    camera pairs (half the ordered work): the symmetric distance is
+    invariant under swapping the pair's roles — term1 + term2 with F[c1,c2]
+    equals term2' + term1' with F[c2,c1] (each term is scale-invariant in F
+    and F[c2,c1] is proportional to F[c1,c2]^T; IEEE addition is
+    commutative, so the mirrored entry is the packed value bit-exactly).
+    The reference itself evaluates both orientations from the one
+    canonically-oriented matrix (calcCost :350-362 via get_fundamental_idx).
+    The 3-vector dots are written componentwise so XLA fuses the pair-packed
+    [Np, D, D, J] program straight into the joint reduction.
 
     Args:
       kp: [C, D, J, 3] normalized keypoints (x, y, conf).
@@ -161,66 +169,165 @@ def pairwise_association_costs(
       (pair_cost [C, D, C, D], pair_usable [C, D, C, D] bool): the
       per-observation cost of pairing observation (c1, d1) with a candidate
       detection (c2, d2), and whether they share any confident joint.
-      Entries with c1 == c2 are meaningless (never gathered).
+      Entries with c1 == c2 are zero (never gathered).
     """
+    c, dd, j, _ = kp.shape
+    if c < 2:
+        z = jnp.zeros((c, dd, c, dd), kp.dtype)
+        return z, jnp.zeros((c, dd, c, dd), bool)
+    cost_p, usable_p, iu, ju = pairwise_association_costs_packed(
+        kp, F, min_kp_score
+    )
+    # Scatter the packed upper triangle into the dense ordered layout and
+    # mirror (bit-exact, see above). The diagonal stays zero/unusable.
+    pair_cost = jnp.zeros((c, dd, c, dd), cost_p.dtype)
+    pair_cost = pair_cost.at[iu, :, ju, :].set(cost_p)
+    pair_cost = pair_cost + jnp.transpose(pair_cost, (2, 3, 0, 1))
+    usable = jnp.zeros((c, dd, c, dd), bool)
+    usable = usable.at[iu, :, ju, :].set(usable_p)
+    usable = usable | jnp.transpose(usable, (2, 3, 0, 1))
+    return pair_cost, usable
+
+
+def pairwise_association_costs_packed(
+    kp: jnp.ndarray,
+    F: jnp.ndarray,
+    min_kp_score: float,
+):
+    """Pair-packed form of `pairwise_association_costs`.
+
+    Returns (cost [Np, D, D], usable [Np, D, D], iu, ju) where
+    (iu[p], ju[p]) enumerate the C(C-1)/2 unordered camera pairs with
+    iu < ju (NumPy triu order) and entry [p, d1, d2] is the per-observation
+    cost between detection (iu[p], d1) and (ju[p], d2).
+    """
+    c, dd, j, _ = kp.shape
+    iu, ju = np.triu_indices(c, k=1)  # [Np] static pair index tables
     x = kp[..., 0]  # [C, D, J]
     y = kp[..., 1]
     conf_ok = kp[..., 2] > min_kp_score
 
-    # Epipolar line of (c1, d1, j) in camera c2: l1 = F[c1, c2] @ [x, y, 1];
-    # componentwise, shapes [C1, D1, C2, J].
-    def line(Fi0, Fi1, Fi2, xs, ys):
+    x1, y1 = x[iu], y[iu]  # [Np, D, J]
+    x2, y2 = x[ju], y[ju]
+    Fp = F[iu, ju]  # [Np, 3, 3]
+
+    # Epipolar line of (c1, d1, j) in camera c2: l1 = Fp @ [x1, y1, 1];
+    # componentwise, shapes [Np, D1, J].
+    def line(f0, f1, f2, xs, ys):
         return (
-            Fi0[:, None, :, None] * xs[:, :, None, :]
-            + Fi1[:, None, :, None] * ys[:, :, None, :]
-            + Fi2[:, None, :, None]
+            f0[:, None, None] * xs + f1[:, None, None] * ys
+            + f2[:, None, None]
         )
 
-    l10 = line(F[..., 0, 0], F[..., 0, 1], F[..., 0, 2], x, y)
-    l11 = line(F[..., 1, 0], F[..., 1, 1], F[..., 1, 2], x, y)
-    l12 = line(F[..., 2, 0], F[..., 2, 1], F[..., 2, 2], x, y)
-    den1 = l10**2 + l11**2  # [C1, D1, C2, J]
+    l10 = line(Fp[:, 0, 0], Fp[:, 0, 1], Fp[:, 0, 2], x1, y1)
+    l11 = line(Fp[:, 1, 0], Fp[:, 1, 1], Fp[:, 1, 2], x1, y1)
+    l12 = line(Fp[:, 2, 0], Fp[:, 2, 1], Fp[:, 2, 2], x1, y1)
+    den1 = l10**2 + l11**2  # [Np, D1, J]
     # Guarded rsqrt: one op instead of sqrt+divide (this reduction is the
     # VPU-bound part of the frame); degenerate zero-norm lines keep the
     # raw |numerator| like the division path did.
     inv1 = jnp.where(den1 > 0, jax.lax.rsqrt(den1), 1.0)
 
-    # Line of (c2, d2, j) back in camera c1: l2 = F[c1, c2]^T @ [x2, y2, 1];
-    # componentwise, shapes [C1, C2, D2, J].
-    def linet(F0i, F1i, F2i, xs, ys):
-        return (
-            F0i[:, :, None, None] * xs[None, :, :, :]
-            + F1i[:, :, None, None] * ys[None, :, :, :]
-            + F2i[:, :, None, None]
-        )
-
-    l20 = linet(F[..., 0, 0], F[..., 1, 0], F[..., 2, 0], x, y)
-    l21 = linet(F[..., 0, 1], F[..., 1, 1], F[..., 2, 1], x, y)
-    l22 = linet(F[..., 0, 2], F[..., 1, 2], F[..., 2, 2], x, y)
-    den2 = l20**2 + l21**2  # [C1, C2, D2, J]
+    # Line of (c2, d2, j) back in camera c1: l2 = Fp^T @ [x2, y2, 1].
+    l20 = line(Fp[:, 0, 0], Fp[:, 1, 0], Fp[:, 2, 0], x2, y2)
+    l21 = line(Fp[:, 0, 1], Fp[:, 1, 1], Fp[:, 2, 1], x2, y2)
+    l22 = line(Fp[:, 0, 2], Fp[:, 1, 2], Fp[:, 2, 2], x2, y2)
+    den2 = l20**2 + l21**2  # [Np, D2, J]
     inv2 = jnp.where(den2 > 0, jax.lax.rsqrt(den2), 1.0)
 
-    # num1[c1,d1,c2,d2,j] = p2 . l1, num2 = p1 . l2 (reference :357-360).
+    # num1[p,d1,d2,j] = p2 . l1, num2 = p1 . l2 (reference :357-360).
     num1 = (
-        x[None, None, :, :, :] * l10[:, :, :, None, :]
-        + y[None, None, :, :, :] * l11[:, :, :, None, :]
-        + l12[:, :, :, None, :]
+        x2[:, None, :, :] * l10[:, :, None, :]
+        + y2[:, None, :, :] * l11[:, :, None, :]
+        + l12[:, :, None, :]
     )
     num2 = (
-        x[:, :, None, None, :] * l20[:, None, :, :, :]
-        + y[:, :, None, None, :] * l21[:, None, :, :, :]
-        + l22[:, None, :, :, :]
+        x1[:, :, None, :] * l20[:, None, :, :]
+        + y1[:, :, None, :] * l21[:, None, :, :]
+        + l22[:, None, :, :]
     )
     d = (
-        jnp.abs(num1) * inv1[:, :, :, None, :]
-        + jnp.abs(num2) * inv2[:, None, :, :, :]
-    )
+        jnp.abs(num1) * inv1[:, :, None, :]
+        + jnp.abs(num2) * inv2[:, None, :, :]
+    )  # [Np, D1, D2, J]
 
-    both_ok = conf_ok[:, :, None, None, :] & conf_ok[None, None, :, :, :]
-    n_joints = jnp.sum(both_ok, axis=-1)  # [C1, D1, C2, D2]
+    both_ok = conf_ok[iu][:, :, None, :] & conf_ok[ju][:, None, :, :]
+    n_joints = jnp.sum(both_ok, axis=-1)  # [Np, D1, D2]
     dist_sum = jnp.sum(jnp.where(both_ok, d, 0.0), axis=-1)
-    pair_cost = dist_sum / jnp.where(n_joints > 0, n_joints, 1)
-    return pair_cost, n_joints > 0
+    cost_p = dist_sum / jnp.where(n_joints > 0, n_joints, 1)
+    return cost_p, n_joints > 0, iu, ju
+
+
+def three_view_drop_scores(
+    F: jnp.ndarray,
+    kp: jnp.ndarray,
+    view_mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-drop remaining pairwise epipolar d^2 for the EXACTLY-3-view case.
+
+    The 3-view outlier rejection (reference :748-792) needs, for each of the
+    3 valid views, the squared symmetric epipolar distance between the
+    remaining two. Only joints with k == 3 consume it, so instead of the
+    full [..., C, C] pair matrix (the O(batch * C^2) tensor that dominated
+    the scaled config's triangulation stage), gather the first three valid
+    view indices and evaluate exactly three pairs.
+
+    Args:
+      F: [C, C, 3, 3] fundamental matrices.
+      kp: [..., C, 3] normalized keypoints.
+      view_mask: [..., C] bool.
+
+    Returns:
+      (rem_d2 [..., 3], idx3 [..., 3]): rem_d2[v] is the d^2 of the pair
+      remaining after dropping the v-th valid view; idx3 are the first three
+      valid view indices (ascending; arbitrary where k < 3 — callers gate on
+      k == 3).
+    """
+    # First three valid view indices, ascending: the v-th valid view is the
+    # argmax of (cumulative-count == v) & mask along the camera axis.
+    pos = jnp.cumsum(view_mask, axis=-1) - 1  # [..., C]
+
+    def nth_valid(v):
+        hit = view_mask & (pos == v)
+        return jnp.where(
+            jnp.any(hit, axis=-1), jnp.argmax(hit, axis=-1), 0
+        ).astype(jnp.int32)
+
+    idx3 = jnp.stack([nth_valid(0), nth_valid(1), nth_valid(2)], axis=-1)
+
+    def gather_kp(i):
+        return jnp.take_along_axis(kp, i[..., None, None], axis=-2)[..., 0, :]
+
+    p = [gather_kp(idx3[..., v]) for v in range(3)]  # 3 x [..., 3]
+
+    def pair_d2(ia, ib, pa, pb):
+        # Canonical orientation F[min, max] — the same values the dense
+        # symmetrized pair matrix carried (and the reference's
+        # get_fundamental_idx canonicalization).
+        lo = jnp.minimum(ia, ib)
+        hi = jnp.maximum(ia, ib)
+        Fp = F[lo, hi]  # [..., 3, 3] batched gather
+        p1 = jnp.where((ia <= ib)[..., None], pa, pb)
+        p2 = jnp.where((ia <= ib)[..., None], pb, pa)
+        one = jnp.ones_like(p1[..., :1])
+        p1h = jnp.concatenate([p1[..., :2], one], axis=-1)
+        p2h = jnp.concatenate([p2[..., :2], one], axis=-1)
+        l1 = linalg.heinsum("...ij,...j->...i", Fp, p1h)
+        l2 = linalg.heinsum("...ji,...j->...i", Fp, p2h)
+        num1 = linalg.heinsum("...i,...i->...", p2h, l1)
+        num2 = linalg.heinsum("...i,...i->...", p1h, l2)
+        den1 = l1[..., 0] ** 2 + l1[..., 1] ** 2
+        den2 = l2[..., 0] ** 2 + l2[..., 1] ** 2
+        return num1**2 / jnp.where(den1 > 0, den1, 1.0) + num2**2 / jnp.where(
+            den2 > 0, den2, 1.0
+        )
+
+    d2_01 = pair_d2(idx3[..., 0], idx3[..., 1], p[0], p[1])
+    d2_02 = pair_d2(idx3[..., 0], idx3[..., 2], p[0], p[2])
+    d2_12 = pair_d2(idx3[..., 1], idx3[..., 2], p[1], p[2])
+    # Dropping valid view v leaves the other two's pair.
+    rem_d2 = jnp.stack([d2_12, d2_02, d2_01], axis=-1)
+    return rem_d2, idx3
 
 
 def pairwise_joint_epipolar_sq(

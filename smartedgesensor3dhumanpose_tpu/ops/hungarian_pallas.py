@@ -82,10 +82,17 @@ def _jv_kernel(
         used_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
         tree_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
 
-        def search_cond(j0):
-            return _select_scalar(roc_ref[:], j0) >= 0
+        # Both loops carry a step counter backstop: a JV search/augment walk
+        # visits each column at most once, so > n+1 steps only happens on
+        # poisoned input (a NaN cost survives jnp.minimum clipping and makes
+        # every comparison false) — terminate with a garbage-but-finite
+        # result like the fixed-trip formulation did.
+        def search_cond(carry):
+            j0, step = carry
+            return (_select_scalar(roc_ref[:], j0) >= 0) & (step <= n + 1)
 
-        def search_body(j0):
+        def search_body(carry):
+            j0, step = carry
             roc = roc_ref[:]
             i0 = _select_scalar(roc, j0)
             used = jnp.where(col == j0, 1, used_ref[:])
@@ -106,21 +113,25 @@ def _jv_kernel(
             minv_ref[:] = jnp.where(~used_b & valid, minv - delta, minv)
             used_ref[:] = used
             tree_ref[:] = tree
-            return j1
+            return j1, step + 1
 
-        j0 = jax.lax.while_loop(search_cond, search_body, virt)
+        j0, _ = jax.lax.while_loop(
+            search_cond, search_body, (virt, jnp.int32(0))
+        )
 
-        def aug_cond(j):
-            return j != virt
+        def aug_cond(carry):
+            j, step = carry
+            return (j != virt) & (step <= n + 1)
 
-        def aug_body(j):
+        def aug_body(carry):
+            j, step = carry
             roc = roc_ref[:]
             jprev = _select_scalar(way_ref[:], j)
             roc_prev = _select_scalar(roc, jprev)
             roc_ref[:] = jnp.where(col == j, roc_prev, roc)
-            return jprev
+            return jprev, step + 1
 
-        jax.lax.while_loop(aug_cond, aug_body, j0)
+        jax.lax.while_loop(aug_cond, aug_body, (j0, jnp.int32(0)))
         return 0
 
     jax.lax.fori_loop(0, n, assign_row, 0)
@@ -162,8 +173,10 @@ def _solve_padded(cost_padded: jnp.ndarray, n: int, interpret: bool):
 # Sublane-batched variant: 8 independent problems per kernel invocation.
 # Under vmap (the frame-batched fusion path) the single-problem kernel would
 # run one grid step per batch element (~50 us each, serial); packing 8
-# problems into the 8 sublanes of every state tile and replacing the
-# data-dependent while_loops with fixed-trip masked loops cuts the grid by 8x.
+# problems into the 8 sublanes of every state tile cuts the grid by 8x. The
+# search/augment loops stay data-dependent while_loops (scalar carries +
+# VMEM scratch state, same design as the single kernel) that early-exit as
+# soon as EVERY sublane's walk has finished.
 # ---------------------------------------------------------------------------
 
 
@@ -220,10 +233,14 @@ def _jv_kernel_batched(
         tree_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.int32)
         j0_ref[:] = jnp.full((_SUBS, _LANES), virt, jnp.int32)
 
-        def search_cond(go):
-            return go > 0
+        # Step-counter backstop as in the single kernel: NaN costs would
+        # otherwise spin these data-dependent loops forever.
+        def search_cond(carry):
+            go, step = carry
+            return (go > 0) & (step <= n + 1)
 
-        def search_body(go):
+        def search_body(carry):
+            go, step = carry
             j0 = j0_ref[:, 0:1]
             roc = roc_ref[:]
             active = sel_lane(roc, j0) >= 0  # (8, 1)
@@ -254,17 +271,21 @@ def _jv_kernel_batched(
             j0_ref[:] = jnp.broadcast_to(j0_new, (_SUBS, _LANES))
             # Continue while any sublane's walk still sits on a taken column.
             still = sel_lane(roc_ref[:], j0_new) >= 0
-            return jnp.sum(still.astype(jnp.int32))
+            return jnp.sum(still.astype(jnp.int32)), step + 1
 
         init_go = jnp.sum(
             (sel_lane(roc_ref[:], j0_ref[:, 0:1]) >= 0).astype(jnp.int32)
         )
-        jax.lax.while_loop(search_cond, search_body, init_go)
+        jax.lax.while_loop(
+            search_cond, search_body, (init_go, jnp.int32(0))
+        )
 
-        def aug_cond(go):
-            return go > 0
+        def aug_cond(carry):
+            go, step = carry
+            return (go > 0) & (step <= n + 1)
 
-        def aug_body(go):
+        def aug_body(carry):
+            go, step = carry
             j = j0_ref[:, 0:1]
             active = j != virt
             jprev = sel_lane(way_ref[:], j)
@@ -272,10 +293,10 @@ def _jv_kernel_batched(
             roc_ref[:] = jnp.where((lane == j) & active, roc_prev, roc_ref[:])
             j_new = jnp.where(active, jprev, j)
             j0_ref[:] = jnp.broadcast_to(j_new, (_SUBS, _LANES))
-            return jnp.sum((j_new != virt).astype(jnp.int32))
+            return jnp.sum((j_new != virt).astype(jnp.int32)), step + 1
 
         init_aug = jnp.sum((j0_ref[:, 0:1] != virt).astype(jnp.int32))
-        jax.lax.while_loop(aug_cond, aug_body, init_aug)
+        jax.lax.while_loop(aug_cond, aug_body, (init_aug, jnp.int32(0)))
         return 0
 
     jax.lax.fori_loop(0, n, assign_row, 0)

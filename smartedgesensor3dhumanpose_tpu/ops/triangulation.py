@@ -64,19 +64,9 @@ def _normal_matrix_direct(P, kp, view_mask, weight_by_conf):
     )
 
 
-def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
-    """A^T A in closed coefficient form (static P only).
-
-    Each normalized, weighted DLT row pair contributes
-      w^2 (x p2 - p0)(x p2 - p0)^T / ||x p2 - p0||^2  (+ the y row)
-    which expands over five *constant* per-camera 4x4 outer products
-    (p2 p2^T, p0 p2^T + p2 p0^T, p0 p0^T, p1 p2^T + p2 p1^T, p1 p1^T) with
-    scalar coefficients in x, y, conf. The big [..., C, 4] row tensors never
-    materialize: only a [..., C, 5] coefficient tensor, contracted against
-    [C, 5, 4, 4] constants on the MXU. This is the HBM-bandwidth hot path of
-    the sigma-point / leave-one-out triangulation batches.
-    """
-    dtype = kp.dtype
+def coeff_constants(P, dtype):
+    """The five constant per-camera 4x4 outer products of the coefficient
+    form: [C, 5, 4, 4] (constant-folded by XLA when P is static data)."""
     p0, p1, p2 = P[:, 0], P[:, 1], P[:, 2]  # [C, 4]
 
     def outer(a, b):
@@ -85,7 +75,7 @@ def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
     a22 = outer(p2, p2)
     a02 = outer(p0, p2)
     a12 = outer(p1, p2)
-    const = jnp.stack(
+    return jnp.stack(
         [
             a22,
             a02 + jnp.swapaxes(a02, -1, -2),
@@ -94,8 +84,20 @@ def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
             outer(p1, p1),
         ],
         axis=1,
-    )  # [C, 5, 4, 4] — constant-folded by XLA (P is static data).
+    ).astype(dtype)
 
+
+def view_coeffs(P, kp, view_mask, weight_by_conf):
+    """Per-view scalar coefficients of the normal-matrix coefficient form.
+
+    Each normalized, weighted DLT row pair contributes
+      w^2 (x p2 - p0)(x p2 - p0)^T / ||x p2 - p0||^2  (+ the y row)
+    which expands over the five constant outer products of
+    `coeff_constants` with scalar coefficients in x, y, conf. Masked views
+    contribute zero. Returns [..., C, 5].
+    """
+    P = jnp.asarray(P)
+    p0, p1, p2 = P[:, 0], P[:, 1], P[:, 2]
     n22 = jnp.sum(p2 * p2, -1)
     n00 = jnp.sum(p0 * p0, -1)
     n11 = jnp.sum(p1 * p1, -1)
@@ -110,7 +112,7 @@ def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
     wmask = jnp.where(view_mask, w2, 0.0)
     inv_nx = wmask / jnp.maximum(nx, 1e-30)
     inv_ny = wmask / jnp.maximum(ny, 1e-30)
-    coeff = jnp.stack(
+    return jnp.stack(
         [
             x * x * inv_nx + y * y * inv_ny,
             -x * inv_nx,
@@ -120,7 +122,29 @@ def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
         ],
         axis=-1,
     )  # [..., C, 5]
-    return linalg.heinsum("...ck,ckij->...ij", coeff, const.astype(dtype))
+
+
+def view_contribs(P, kp, view_mask, weight_by_conf):
+    """Per-view 4x4 normal-matrix contributions T_c with A^T A = sum_c T_c.
+
+    The incremental building block for the leave-one-out and sigma-point
+    batches: dropping view c is `A^T A - T_c`, and perturbing view c's
+    keypoint replaces only T_c — so the O(batch x samples x C) coefficient
+    tensors of a from-scratch rebuild never materialize (the HBM-bandwidth
+    hot path of the scaled config). Returns [..., C, 4, 4].
+    """
+    coeff = view_coeffs(P, kp, view_mask, weight_by_conf)
+    const = coeff_constants(P, kp.dtype)
+    return linalg.heinsum("...ck,ckij->...cij", coeff, const)
+
+
+def _normal_matrix_coeff(P, kp, view_mask, weight_by_conf):
+    """A^T A in closed coefficient form (static P only): the [..., C, 5]
+    coefficient tensor contracted against the [C, 5, 4, 4] constants on the
+    MXU — the big [..., C, 4] row tensors never materialize."""
+    coeff = view_coeffs(P, kp, view_mask, weight_by_conf)
+    const = coeff_constants(P, kp.dtype)
+    return linalg.heinsum("...ck,ckij->...ij", coeff, const)
 
 
 def triangulate(
@@ -149,9 +173,23 @@ def triangulate(
         m = _normal_matrix_coeff(P, kp, view_mask, weight_by_conf)
     else:
         m = _normal_matrix_direct(P, kp, view_mask, weight_by_conf)
-    # Masked-out batches have m == 0; bias with identity so Jacobi stays
-    # finite (the resulting point is gated out by the caller's masks).
-    deficient = jnp.sum(view_mask, axis=-1) < 2
+    return solve_normal(m, jnp.sum(view_mask, axis=-1))
+
+
+def solve_normal(m: jnp.ndarray, n_views: jnp.ndarray) -> jnp.ndarray:
+    """Solve min ||A x||, ||x|| = 1 from the 4x4 normal matrix m = A^T A.
+
+    The incremental entry point: callers assemble m themselves (e.g. as
+    `sum(view_contribs) - T_c` for leave-one-out, or base + delta for sigma
+    points) and hand it here with the matching valid-view count.
+
+    Args:
+      m: [..., 4, 4] normal matrices.
+      n_views: [...] valid view count; lanes with fewer than 2 views yield 0
+        (masked-out batches have m == 0 — bias with identity so the
+        eigensolver stays finite; callers gate those lanes out).
+    """
+    deficient = n_views < 2
     m = m + jnp.where(deficient[..., None, None], 1.0, 0.0) * jnp.eye(
         4, dtype=m.dtype
     )

@@ -129,9 +129,12 @@ def run_offline_sharded(
             frame, pivot = pipeline.mask_stale_cameras(
                 frame, config.fusion.max_sync_diff
             )
-            return fusion.fuse_frame(frame, rig, config.fusion), pivot
+            persons, n_drop = fusion.fuse_frame(
+                frame, rig, config.fusion, with_stats=True
+            )
+            return persons, pivot, n_drop
 
-        persons, pivots = jax.vmap(fuse_one)(frames)
+        persons, pivots, n_dropped_hyp = jax.vmap(fuse_one)(frames)
         # Shard frames over `data` and the person axis over `model`.
         persons = _constrain(persons, mesh, P("data", "model"))
 
@@ -200,6 +203,8 @@ def run_offline_sharded(
             ),
             bbox3d_center=bbox_c,
             bbox3d_size=bbox_s,
+            n_dropped_hypotheses=n_dropped_hyp,
+            n_dropped_track_spawns=track_outs.n_dropped_spawns,
         )
 
     fn = jax.jit(

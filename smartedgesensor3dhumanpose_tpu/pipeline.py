@@ -58,6 +58,13 @@ class StepOutput(NamedTuple):
     # PersonCov 3D bounding box of the fused persons (PersonCov.msg:7-8).
     bbox3d_center: jnp.ndarray        # [P, 3]
     bbox3d_size: jnp.ndarray          # [P, 3]
+    # Overflow observability: spawns lost to the fixed slot capacities this
+    # frame (the reference's vectors grow unboundedly,
+    # skeleton_3d_triang_mult_node.cpp:662-673 / pose_prior_mult_node.cpp:
+    # 570-580; here crowded frames warn via monitor instead of silently
+    # losing people).
+    n_dropped_hypotheses: jnp.ndarray   # [] int32
+    n_dropped_track_spawns: jnp.ndarray  # [] int32
 
 
 def mask_stale_cameras(frame: Frame, max_sync_diff: float) -> Tuple[Frame, jnp.ndarray]:
@@ -79,7 +86,9 @@ def step(
     """One full pipeline frame (pure; jit with static config/rig closure)."""
     frame, pivot = mask_stale_cameras(frame, config.fusion.max_sync_diff)
 
-    persons_raw = fusion.fuse_frame(frame, rig, config.fusion)
+    persons_raw, n_dropped_hyp = fusion.fuse_frame(
+        frame, rig, config.fusion, with_stats=True
+    )
 
     state, track_out = tracking.step(
         state,
@@ -115,6 +124,8 @@ def step(
         fb_delay_per_cam=jnp.broadcast_to(track_out.pred_delta_t, (c,)),
         bbox3d_center=bbox_c,
         bbox3d_size=bbox_s,
+        n_dropped_hypotheses=n_dropped_hyp,
+        n_dropped_track_spawns=track_out.n_dropped_spawns,
     )
 
 
@@ -136,10 +147,26 @@ class Pipeline:
         self.rig = rig
         self.config = config
         self._fusion_batch = fusion_batch
-        self._step = jax.jit(
-            functools.partial(step, rig=rig, config=config)
-        )
+        # The online step donates the tracker-state buffers: the state is
+        # threaded linearly (state_out replaces state_in every frame), so
+        # XLA can update it in place instead of allocating + copying fresh
+        # HBM buffers per step. Callers must not reuse a state after
+        # passing it in (warm up with a throwaway init_state()). Donation
+        # is TPU-only — the CPU backend ignores it with a warning.
+        donate = (0,) if jax.default_backend() == "tpu" else ()
+        self._step_raw = functools.partial(step, rig=rig, config=config)
+        self._step = jax.jit(self._step_raw, donate_argnums=donate)
         self._scan = jax.jit(self._scan_impl)
+        # The ONLINE step chained inside one compiled scan: identical math
+        # to per-frame `step` calls, but with zero per-call host dispatch —
+        # wall time / num_frames is the genuine on-device per-step cost
+        # (bench.py reports it as p50_device_ms next to the wall-clock
+        # p50_step_latency_ms, which in a remote-dispatch sandbox is
+        # dominated by the tunnel).
+        self._chain = jax.jit(
+            lambda s, fs: jax.lax.scan(self._step_raw, s, fs),
+            donate_argnums=donate,
+        )
 
     def init_state(self, dtype=jnp.float32) -> TrackerState:
         t = self.config.tracker
@@ -182,18 +209,16 @@ class Pipeline:
 
         def fuse_one(frame):
             frame, pivot = mask_stale_cameras(frame, fusion_cfg.max_sync_diff)
-            return (
-                fusion.fuse_frame(
-                    frame, rig, fusion_cfg, unroll_cameras=True
-                ),
-                pivot,
+            persons, n_drop = fusion.fuse_frame(
+                frame, rig, fusion_cfg, unroll_cameras=True, with_stats=True
             )
+            return persons, pivot, n_drop
 
         # Chunked batching: full vmap over a long sequence materializes the
         # sigma-point/leave-one-out intermediates for every frame at once
         # (O(T x H x J x 5C) tensors — hundreds of MB for T ~ 256); chunks
         # keep HBM bounded while still amortizing kernel launches.
-        persons, pivots = jax.lax.map(
+        persons, pivots, n_dropped_hyp = jax.lax.map(
             fuse_one, frames, batch_size=self._fusion_batch
         )
 
@@ -256,6 +281,8 @@ class Pipeline:
             ),
             bbox3d_center=bbox_c,
             bbox3d_size=bbox_s,
+            n_dropped_hypotheses=n_dropped_hyp,
+            n_dropped_track_spawns=track_outs.n_dropped_spawns,
         )
 
     def run_offline(self, state: TrackerState, frames: Frame):
@@ -263,3 +290,9 @@ class Pipeline:
         field) in one compiled program. Returns (final_state, StepOutput with
         a leading time axis)."""
         return self._scan(state, frames)
+
+    def run_per_frame_chain(self, state: TrackerState, frames: Frame):
+        """Sequential ONLINE steps chained in one compiled scan (no
+        cross-frame fusion batching, unlike run_offline) — the device-time
+        oracle for the online step latency. Donates `state` on TPU."""
+        return self._chain(state, frames)

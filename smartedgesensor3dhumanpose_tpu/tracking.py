@@ -33,6 +33,10 @@ class TrackStepOutput(NamedTuple):
     fused: Persons3D        # persons3d_fused equivalent
     fused_pred: Persons3D   # persons3d_fused_pred equivalent
     pred_delta_t: jnp.ndarray  # [] predicted feedback latency
+    # Track spawns lost because every fixed slot was alive (the reference
+    # grows its track vector unboundedly, pose_prior_mult_node.cpp:570-580;
+    # here the overflow is counted so the monitor can warn).
+    n_dropped_spawns: jnp.ndarray  # [] int32
 
 
 def _association_cost(
@@ -148,6 +152,9 @@ def step(
         t_slots,  # overflow -> dropped
     )
     new_ok = spawn & (slot_new < t_slots)
+    n_dropped_spawns = (
+        jnp.sum(spawn.astype(jnp.int32)) - jnp.sum(new_ok.astype(jnp.int32))
+    )
     track_idx = jnp.where(matched, track_of, jnp.where(new_ok, slot_new, t_slots))
     has_track = matched | new_ok
 
@@ -284,7 +291,10 @@ def step(
         t_prev_global=t,
     )
     return new_state, TrackStepOutput(
-        fused=fused, fused_pred=fused_pred, pred_delta_t=pred_delta_t
+        fused=fused,
+        fused_pred=fused_pred,
+        pred_delta_t=pred_delta_t,
+        n_dropped_spawns=n_dropped_spawns,
     )
 
 

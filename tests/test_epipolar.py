@@ -125,6 +125,55 @@ def test_association_cost_matches_oracle(rng):
     assert cost[1, 0] < 0.05
 
 
+def test_pairwise_association_costs_matches_oracle(rng):
+    """f64 NumPy oracle for the frame-level pair-cost precompute: every
+    ordered (c1, d1, c2, d2) entry must equal the per-observation calcCost
+    term — joint-mean symmetric epipolar distance over joints confident in
+    both views (oracles.symmetric_epipolar_distance)."""
+    c, d, j = 4, 3, 17
+    min_kp_score = 0.30
+    P = random_rig(rng, c=c)
+    F = cameras.fundamental_matrices(P)
+
+    kp = np.zeros((c, d, j, 3))
+    for ci in range(c):
+        for di in range(d):
+            joints = _random_joints(rng, rng.normal(size=3) * 0.4, j)
+            kp[ci, di] = _project_joints(
+                rng, P[ci], joints, noise=0.003, conf_range=(0.1, 1.0)
+            )
+
+    cost, usable = epipolar.pairwise_association_costs(
+        jnp.asarray(kp), jnp.asarray(F), min_kp_score
+    )
+    cost, usable = np.asarray(cost), np.asarray(usable)
+
+    for c1 in range(c):
+        for c2 in range(c):
+            if c1 == c2:
+                continue  # same-camera entries are never gathered
+            for d1 in range(d):
+                for d2 in range(d):
+                    total, n = 0.0, 0
+                    for jj in range(j):
+                        if (
+                            kp[c1, d1, jj, 2] > min_kp_score
+                            and kp[c2, d2, jj, 2] > min_kp_score
+                        ):
+                            total += oracles.symmetric_epipolar_distance(
+                                F[c1, c2],
+                                kp[c1, d1, jj, :2],
+                                kp[c2, d2, jj, :2],
+                            )
+                            n += 1
+                    assert usable[c1, d1, c2, d2] == (n > 0)
+                    if n > 0:
+                        np.testing.assert_allclose(
+                            cost[c1, d1, c2, d2], total / n, rtol=1e-8,
+                            err_msg=f"pair ({c1},{d1})->({c2},{d2})",
+                        )
+
+
 def test_invalid_detection_slots_are_vetoed(rng):
     c, j = 3, 17
     P = random_rig(rng, c=c)
@@ -178,3 +227,39 @@ def test_pairwise_joint_epipolar_sq(rng):
                 np.testing.assert_allclose(d2[jj, i], want, rtol=1e-8)
             else:
                 assert d2[i, jj] == 0.0
+
+
+def test_three_view_drop_scores_match_dense(rng):
+    """The gathered 3-view drop scores must equal the dense pair-matrix
+    formulation they replaced: rem_d2[v] == sum of the OTHER two views'
+    pairwise d^2 entry, with ascending valid indices."""
+    c = 6
+    P = random_rig(rng, c=c)
+    F = cameras.fundamental_matrices(P)
+    for trial in range(8):
+        xyz = rng.normal(size=3) * 0.4
+        kp = np.zeros((c, 3))
+        for ci in range(c):
+            kp[ci, :2] = project(P[ci], xyz) + rng.normal(size=2) * 0.01
+            kp[ci, 2] = 0.9
+        mask = np.zeros(c, bool)
+        mask[rng.choice(c, size=3, replace=False)] = True
+
+        rem_d2, idx3 = epipolar.three_view_drop_scores(
+            jnp.asarray(F), jnp.asarray(kp), jnp.asarray(mask)
+        )
+        rem_d2, idx3 = np.asarray(rem_d2), np.asarray(idx3)
+        want_idx = np.nonzero(mask)[0]
+        np.testing.assert_array_equal(idx3, want_idx)
+
+        dense = np.asarray(
+            epipolar.pairwise_joint_epipolar_sq(
+                jnp.asarray(F), jnp.asarray(kp), jnp.asarray(mask)
+            )
+        )
+        for v in range(3):
+            others = [want_idx[o] for o in range(3) if o != v]
+            np.testing.assert_allclose(
+                rem_d2[v], dense[others[0], others[1]], rtol=1e-10,
+                err_msg=f"trial {trial} drop slot {v}",
+            )

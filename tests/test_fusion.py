@@ -77,6 +77,33 @@ def test_fuse_frame_recovers_people():
         )
 
 
+def test_fuse_frame_counts_hypothesis_overflow():
+    """An over-capacity frame must report dropped spawns instead of silently
+    losing people (reference grows unboundedly,
+    skeleton_3d_triang_mult_node.cpp:662-673)."""
+    cfg = synthetic.SceneConfig(
+        num_cameras=8, num_people=6, num_frames=1, pixel_noise=1.0, seed=3
+    )
+    scene = synthetic.generate_scene(cfg)
+    frame = make_frame(scene, 0)
+
+    # Ample capacity: nothing dropped.
+    roomy = FusionConfig(num_cameras=8, max_dets_per_cam=6, max_hypotheses=12)
+    persons, n_drop = fusion.fuse_frame(
+        frame, scene["rig"], roomy, with_stats=True
+    )
+    assert int(n_drop) == 0
+
+    # Starved capacity: 6 people cannot fit 4 slots; the overflow count and
+    # the capacity must cover all spawned hypotheses together.
+    tight = FusionConfig(num_cameras=8, max_dets_per_cam=6, max_hypotheses=4)
+    persons_t, n_drop_t = fusion.fuse_frame(
+        frame, scene["rig"], tight, with_stats=True
+    )
+    assert int(n_drop_t) > 0
+    assert int(np.asarray(persons_t.valid).sum()) <= 4
+
+
 def test_fuse_frame_noise_free_mm_accuracy():
     cfg = synthetic.SceneConfig(
         num_cameras=16,

@@ -180,3 +180,26 @@ def test_fb_delay_moving_average(rng):
         )
     # After 3 frames the buffer is saturated with 0.2 (invalid -1 excluded).
     np.testing.assert_allclose(float(out.pred_delta_t), 0.2, rtol=1e-6)
+
+
+def test_track_spawn_overflow_counted(rng):
+    """4 valid persons against 2 track slots: 2 spawns must be reported
+    dropped (reference grows unboundedly, pose_prior_mult_node.cpp:570-580),
+    and a roomy config reports zero."""
+    tcfg = TrackerConfig(max_tracks=2)
+    pcfg = PriorConfig()
+    state = TrackerState.initial(2, 3, 0.1, dtype=jnp.float64)
+    persons = persons_at(
+        rng, [(0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (2.0, 2.0)]
+    )
+    fb = jnp.full((4,), 0.1, jnp.float64)
+    state, out = tracking.step(state, persons, jnp.float64(1.0), fb, pcfg, tcfg)
+    assert int(out.n_dropped_spawns) == 2
+    assert int(np.asarray(state.alive).sum()) == 2
+
+    roomy = TrackerConfig(max_tracks=8)
+    state8 = TrackerState.initial(8, 3, 0.1, dtype=jnp.float64)
+    _, out8 = tracking.step(
+        state8, persons, jnp.float64(1.0), fb, pcfg, roomy
+    )
+    assert int(out8.n_dropped_spawns) == 0
