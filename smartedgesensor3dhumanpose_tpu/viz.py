@@ -33,6 +33,13 @@ FUSION_COLORS = (
 )
 
 
+# Second color scheme for the RAW (pre-smoothing) triangulation output —
+# the rviz setup displays both skeleton_3d (raw) and skeleton3d_fused
+# (/root/reference/pose_hall.rviz:148-167); dimming the per-joint palette
+# toward gray keeps joints identifiable while fused stays visually dominant.
+RAW_COLORS = 0.35 * FUSION_COLORS + 0.55
+
+
 def draw_2d_overlay(
     ax,
     kp2d: np.ndarray,
@@ -40,6 +47,8 @@ def draw_2d_overlay(
     bbox: Optional[np.ndarray] = None,
     image_size: Sequence[float] = (640, 480),
     min_score: float = 0.0,
+    colors: Optional[np.ndarray] = None,
+    linewidth: float = 2.0,
 ):
     """Draw one camera's detections (COCO-17 layout) on a matplotlib axis.
 
@@ -47,12 +56,16 @@ def draw_2d_overlay(
       kp2d: [P, 17, 3] pixel keypoints (x, y, score).
       kp_valid: optional [P, 17] mask (defaults to score > min_score).
       bbox: optional [P, 4] (x0, y0, x1, y1).
+      colors: optional per-fusion-joint palette (RAW_COLORS for the dim
+        input-detection layer).
     """
     import matplotlib.patches as patches
 
     kp2d = np.asarray(kp2d)
     if kp_valid is None:
         kp_valid = kp2d[..., 2] > min_score
+    if colors is None:
+        colors = FUSION_COLORS
     to_fusion = np.asarray(skeleton.SIMPLE_MODEL.to_fusion)
     for p in range(kp2d.shape[0]):
         if not kp_valid[p].any():
@@ -62,8 +75,8 @@ def draw_2d_overlay(
                 ax.plot(
                     [kp2d[p, a, 0], kp2d[p, b, 0]],
                     [kp2d[p, a, 1], kp2d[p, b, 1]],
-                    color=FUSION_COLORS[to_fusion[b]],
-                    linewidth=2,
+                    color=colors[to_fusion[b]],
+                    linewidth=linewidth,
                 )
         for j in range(kp2d.shape[1]):
             if kp_valid[p, j]:
@@ -71,7 +84,7 @@ def draw_2d_overlay(
                     kp2d[p, j, 0],
                     kp2d[p, j, 1],
                     "o",
-                    color=FUSION_COLORS[to_fusion[j]],
+                    color=colors[to_fusion[j]],
                     markersize=3,
                 )
         if bbox is not None and kp_valid[p].any():
@@ -91,24 +104,30 @@ def draw_skeleton_3d(
     xyz: np.ndarray,
     score: np.ndarray,
     person_id: Optional[int] = None,
+    colors: Optional[np.ndarray] = None,
+    linewidth: float = 2.0,
+    marker_size: float = 15.0,
 ):
     """Draw one 21-joint fusion skeleton on a 3D matplotlib axis, bones
-    following the parent tree (reference marker construction :901-918)."""
+    following the parent tree (reference marker construction :901-918).
+    Pass colors=RAW_COLORS for the raw (pre-smoothing) display layer."""
     xyz = np.asarray(xyz)
     score = np.asarray(score)
+    if colors is None:
+        colors = FUSION_COLORS
     parent = skeleton.FUSION_PARENT
     for j in range(skeleton.NUM_FUSION_JOINTS):
         if score[j] <= 0:
             continue
-        ax.scatter(*xyz[j], color=FUSION_COLORS[j], s=15)
+        ax.scatter(*xyz[j], color=colors[j], s=marker_size)
         pj = parent[j]
         if pj >= 0 and score[pj] > 0:
             ax.plot(
                 [xyz[j, 0], xyz[pj, 0]],
                 [xyz[j, 1], xyz[pj, 1]],
                 [xyz[j, 2], xyz[pj, 2]],
-                color=FUSION_COLORS[j],
-                linewidth=2,
+                color=colors[j],
+                linewidth=linewidth,
             )
     if person_id is not None and score.max() > 0:
         top = xyz[score > 0][:, 2].max()
@@ -174,9 +193,15 @@ def render_frame_summary(
     rig,
     path: str,
     cameras_to_show: Sequence[int] = (0, 1, 2, 3),
+    input_frame=None,
 ):
-    """Save a PNG with the fused 3D skeletons plus a grid of per-camera
-    feedback overlays — the rqt/rviz dashboard equivalent (C26)."""
+    """Save a PNG with the 3D skeletons — RAW triangulation output (dim
+    palette) under the FUSED/smoothed result, matching the rviz double
+    display (pose_hall.rviz:148-167: skeleton_3d + skeleton3d_fused) — plus
+    a grid of per-camera feedback overlays (C26).
+
+    input_frame: optional Frame (single frame) whose raw 2D input detections
+    are drawn dimly under each camera's feedback overlay."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -185,6 +210,16 @@ def render_frame_summary(
     n_cams = len(cameras_to_show)
     fig = plt.figure(figsize=(4 * (n_cams + 1), 4))
     ax3d = fig.add_subplot(1, n_cams + 1, 1, projection="3d")
+    raw_valid = np.asarray(out.persons_raw.valid)
+    for p in np.nonzero(raw_valid)[0]:
+        draw_skeleton_3d(
+            ax3d,
+            np.asarray(out.persons_raw.xyz[p]),
+            np.asarray(out.persons_raw.score[p]),
+            colors=RAW_COLORS,
+            linewidth=1.2,
+            marker_size=8.0,
+        )
     valid = np.asarray(out.fused.valid)
     for p in np.nonzero(valid)[0]:
         draw_skeleton_3d(
@@ -193,10 +228,19 @@ def render_frame_summary(
             np.asarray(out.fused.score[p]),
             int(np.asarray(out.fused.person_id[p])),
         )
-    ax3d.set_title("fused 3D")
+    ax3d.set_title("3D: raw (dim) + fused")
     size = np.asarray(rig.image_size)
     for k, c in enumerate(cameras_to_show):
         ax = fig.add_subplot(1, n_cams + 1, k + 2)
+        if input_frame is not None:
+            kp_in = np.asarray(input_frame.kp2d[c])
+            ok_in = (kp_in[..., 2] > 0) & np.asarray(
+                input_frame.det_valid[c]
+            )[:, None]
+            draw_2d_overlay(
+                ax, kp_in, ok_in, image_size=size[c],
+                colors=RAW_COLORS, linewidth=1.0,
+            )
         draw_2d_overlay(
             ax,
             np.asarray(out.feedback.kp2d[c]),
@@ -204,7 +248,9 @@ def render_frame_summary(
             np.asarray(out.feedback.bbox[c]),
             image_size=size[c],
         )
-        ax.set_title(f"cam {c} feedback")
+        ax.set_title(
+            f"cam {c} feedback" + (" + input" if input_frame is not None else "")
+        )
     fig.tight_layout()
     fig.savefig(path, dpi=80)
     plt.close(fig)
@@ -218,10 +264,13 @@ def render_live_dashboard(
     cameras_to_show: Sequence[int] = (0, 1, 2, 3),
     fps: int = 10,
     max_frames: int = 120,
+    input_frames=None,
 ):
     """Animated operator dashboard over a whole replay — the live equivalent
     of the reference's rviz 3D view + rqt camera tiles (pose_hall.rviz:
-    148-167, pose_hall.perspective; C26).
+    148-167, pose_hall.perspective; C26). The 3D pane layers the RAW
+    triangulation output (dim palette, the rviz skeleton_3d display) under
+    the fused/smoothed skeletons (skeleton3d_fused).
 
     Args:
       outs: StepOutput pytree with a leading time axis (pipeline.run_offline
@@ -229,6 +278,8 @@ def render_live_dashboard(
       path: output file; ``.gif`` writes an animated GIF (Pillow),
         ``.html`` a self-contained scrubbable HTML player (no display
         needed — both work headless).
+      input_frames: optional Frame pytree (leading time axis) whose raw 2D
+        input detections are drawn dimly under each camera's feedback.
 
     Returns the path written.
     """
@@ -253,23 +304,41 @@ def render_live_dashboard(
     fused_score = np.asarray(outs.fused.score)
     fused_valid = np.asarray(outs.fused.valid)
     fused_id = np.asarray(outs.fused.person_id)
+    raw_xyz = np.asarray(outs.persons_raw.xyz)
+    raw_score = np.asarray(outs.persons_raw.score)
+    raw_valid = np.asarray(outs.persons_raw.valid)
     fb_kp = np.asarray(outs.feedback.kp2d)
     fb_ok = np.asarray(outs.feedback.kp_valid)
     fb_bbox = np.asarray(outs.feedback.bbox)
+    if input_frames is not None:
+        in_kp = np.asarray(input_frames.kp2d)
+        in_ok = (in_kp[..., 2] > 0) & np.asarray(
+            input_frames.det_valid
+        )[..., None]
 
     def draw(t):
         ax3d.cla()
+        for p in np.nonzero(raw_valid[t])[0]:
+            draw_skeleton_3d(
+                ax3d, raw_xyz[t, p], raw_score[t, p],
+                colors=RAW_COLORS, linewidth=1.2, marker_size=8.0,
+            )
         for p in np.nonzero(fused_valid[t])[0]:
             draw_skeleton_3d(
                 ax3d, fused_xyz[t, p], fused_score[t, p], int(fused_id[t, p])
             )
-        ax3d.set_title(f"fused 3D — frame {t}")
+        ax3d.set_title(f"raw (dim) + fused 3D — frame {t}")
         ax3d.set_xlim(-4, 4)
         ax3d.set_ylim(-4, 4)
         ax3d.set_zlim(0, 2.5)
         for k, c in enumerate(cameras_to_show):
             ax = axes2d[k]
             ax.cla()
+            if input_frames is not None:
+                draw_2d_overlay(
+                    ax, in_kp[t, c], in_ok[t, c], image_size=size[c],
+                    colors=RAW_COLORS, linewidth=1.0,
+                )
             draw_2d_overlay(
                 ax, fb_kp[t, c], fb_ok[t, c], fb_bbox[t, c],
                 image_size=size[c],
