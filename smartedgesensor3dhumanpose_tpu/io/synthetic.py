@@ -217,7 +217,9 @@ def generate_scene(cfg: SceneConfig, rig: Optional[CameraRig] = None):
     for _ in range(cfg.occlusion_events):
         pi = int(rng.integers(0, p))
         f0 = int(rng.integers(0, max(1, t - 4)))
-        dur = int(rng.integers(4, min(16, t - f0) + 1))
+        # 4-16 frame windows, clamped for short scenes (t - f0 can be < 4).
+        hi = min(16, t - f0)
+        dur = int(rng.integers(min(4, hi), hi + 1))
         c0 = int(rng.integers(0, c))
         arc = max(1, c // 3)
         cams = (c0 + np.arange(arc)) % c

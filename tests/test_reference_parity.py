@@ -418,3 +418,70 @@ def test_hungarian_parity_vs_reference_cpp(oracle, rng):
                                     err_msg=f"trial {trial} {r}x{c}")
         # Where the reference assigned, we must assign the same number.
         assert (ours >= 0).sum() == (assignment >= 0).sum()
+
+
+def test_hungarian_tie_break_divergence_boundary(oracle, rng):
+    """The acknowledged divergence boundary, as a test artifact (not just a
+    STATUS sentence): on matrices with MASSIVE cost ties the JV solver can
+    legally pick a DIFFERENT optimal permutation than the reference's
+    column-major Munkres (Hungarian.cpp:60) — totals must still agree to
+    the last bit and both sides assign the same number of pairs. On
+    tie-free (continuous) costs the optimum is a.s. unique and the
+    permutations themselves must be identical."""
+    diverged = tied_trials = 0
+    for trial in range(60):
+        r = int(rng.integers(2, 9))
+        c = int(rng.integers(2, 9))
+        # Three-level quantized costs: most entries tie with many others.
+        cost = rng.choice([0.25, 0.5, 1.0], size=(r, c))
+
+        assignment = np.full((r,), -7, np.int32)
+        total = ctypes.c_double()
+        oracle.ref_hungarian(
+            np.asfortranarray(cost).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)
+            ),
+            r, c,
+            assignment.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.byref(total),
+        )
+        ours = np.asarray(hungarian.linear_sum_assignment(jnp.asarray(cost)))
+        rows = np.arange(r)
+        ours_total = cost[rows[ours >= 0], ours[ours >= 0]].sum()
+        # The invariant that HOLDS under ties: bit-equal optimal totals,
+        # same assignment cardinality.
+        np.testing.assert_allclose(
+            ours_total, total.value, rtol=0, atol=0,
+            err_msg=f"tied trial {trial} {r}x{c}",
+        )
+        assert (ours >= 0).sum() == (assignment >= 0).sum()
+        tied_trials += 1
+        if not np.array_equal(ours, assignment):
+            diverged += 1
+    # The boundary is real: the fixture must actually produce divergent
+    # (equal-total) permutations, or this test documents nothing.
+    assert diverged > 0, (
+        f"no tie divergence in {tied_trials} tie-heavy trials — "
+        "fixture too weak"
+    )
+
+    # Tie-free boundary: continuous costs -> a.s. unique optimum -> the
+    # permutations must match the reference EXACTLY.
+    for trial in range(30):
+        r = int(rng.integers(2, 9))
+        c = int(rng.integers(2, 9))
+        cost = rng.uniform(0.0, 1.0, size=(r, c))
+        assignment = np.full((r,), -7, np.int32)
+        total = ctypes.c_double()
+        oracle.ref_hungarian(
+            np.asfortranarray(cost).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double)
+            ),
+            r, c,
+            assignment.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.byref(total),
+        )
+        ours = np.asarray(hungarian.linear_sum_assignment(jnp.asarray(cost)))
+        np.testing.assert_array_equal(
+            ours, assignment, err_msg=f"tie-free trial {trial} {r}x{c}"
+        )

@@ -449,7 +449,9 @@ def _run_ours(rig, frame, config):
     return xyz, score, packed
 
 
-def _scene_frames(pose_method, seed, num_cameras=8, num_people=4, frames=3):
+def _scene_frames(
+    pose_method, seed, num_cameras=8, num_people=4, frames=3, **adversarial
+):
     scene = synthetic.generate_scene(
         synthetic.SceneConfig(
             num_cameras=num_cameras,
@@ -463,6 +465,7 @@ def _scene_frames(pose_method, seed, num_cameras=8, num_people=4, frames=3):
             pixel_noise=2.0,
             keypoint_dropout=0.08,
             detection_dropout=0.05,
+            **adversarial,
         )
     )
     data = synthetic.frames_from_scene(scene)
@@ -522,6 +525,85 @@ def test_whole_frame_parity_vs_reference_cpp(frame_oracle, pose_method):
     assert checked_persons >= 6  # the fixture produced real coverage
     # The typical agreement is far inside the budget; record the envelope.
     assert worst_xyz < 1e-3
+
+
+_ADVERSARIAL = {
+    # Ghost-heavy: ~2 single-view false positives per camera-frame — the
+    # veto accumulation (skeleton_3d_triang_mult_node.cpp:344-381) and the
+    # >=2-observation gate must reject them identically on both sides.
+    "ghost_heavy": dict(num_ghost_slots=2, ghost_rate=0.8),
+    # Swap-heavy: cross-person joint confusion inside single cameras — the
+    # per-joint outlier rejection (:744-844) and limb gates must agree.
+    "swap_heavy": dict(identity_swap_rate=0.7),
+    # Structural occlusion: persons hidden from contiguous camera arcs for
+    # multi-frame windows (not i.i.d. dropout).
+    "occlusion": dict(occlusion_events=6),
+}
+
+
+@pytest.mark.parametrize("scenario", sorted(_ADVERSARIAL))
+def test_whole_frame_parity_adversarial(frame_oracle, scenario):
+    """Hostile detector input — false positives, identity swaps, correlated
+    occlusions — must produce the SAME published persons as the compiled
+    reference: the veto/outlier/merge logic exists for exactly this input
+    and parity on benign frames alone does not cover it."""
+    rig, frames = _scene_frames(
+        "simple", seed=23, **_ADVERSARIAL[scenario]
+    )
+    c = int(np.asarray(rig.K).shape[0])
+    config = FusionConfig(
+        num_cameras=c,
+        max_dets_per_cam=int(frames.kp2d.shape[2]),
+        max_hypotheses=24,  # ghosts spawn extra short-lived hypotheses
+        max_epipolar_error=0.045,
+    )
+    checked = 0
+    for ti in range(int(frames.kp2d.shape[0])):
+        frame = jax.tree_util.tree_map(lambda a: a[ti], frames)
+        ref_xyz, ref_score, ref_cov = _run_reference(
+            frame_oracle, rig, frame, "simple", config.max_epipolar_error,
+        )
+        got_xyz, got_score, got_cov = _run_ours(rig, frame, config)
+        assert got_xyz.shape[0] == ref_xyz.shape[0], (
+            scenario, ti, got_xyz.shape, ref_xyz.shape,
+        )
+        for pi in range(ref_xyz.shape[0]):
+            on = ref_score[pi] > 0
+            np.testing.assert_array_equal(
+                got_score[pi] > 0, on, err_msg=f"{scenario} t{ti} p{pi}"
+            )
+            if on.any():
+                d = np.abs(got_xyz[pi][on] - ref_xyz[pi][on]).max()
+                assert d < 1e-3, (scenario, ti, pi, d)
+            checked += 1
+    assert checked >= 4, f"{scenario}: fixture produced no real coverage"
+
+
+def test_adversarial_scene_generator_properties():
+    """The generator actually produces the attack it claims: extra invalid-
+    in-other-views detections (ghosts), swapped joints, and multi-frame
+    occlusion blocks."""
+    base = synthetic.SceneConfig(
+        num_cameras=6, num_people=3, num_frames=8, seed=1
+    )
+    clean = synthetic.generate_scene(base)
+
+    ghosts = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=6, num_people=3, num_frames=8, seed=1,
+            num_ghost_slots=2, ghost_rate=0.8,
+        )
+    )
+    assert ghosts["kp2d"].shape[2] == 5  # 3 people + 2 ghost slots
+    assert ghosts["det_valid"].sum() > clean["det_valid"].sum()
+
+    occl = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=6, num_people=3, num_frames=8, seed=1,
+            occlusion_events=4,
+        )
+    )
+    assert occl["det_valid"].sum() < clean["det_valid"].sum()
 
 
 def test_whole_frame_parity_degenerate_inputs(frame_oracle):
