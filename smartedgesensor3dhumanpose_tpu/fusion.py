@@ -78,7 +78,8 @@ class _AssocCarry(NamedTuple):
 def _associate_camera(
     carry: _AssocCarry,
     cam_idx: jnp.ndarray,
-    tables_c: jnp.ndarray,
+    ctab_c: jnp.ndarray,
+    conf_obs: jnp.ndarray,
     det_ok: jnp.ndarray,
     config: FusionConfig,
 ) -> _AssocCarry:
@@ -86,30 +87,34 @@ def _associate_camera(
     the hypothesis set (reference :588-674).
 
     The hypothesis x detection cost matrix is assembled from the
-    frame-level precomputed per-observation pair tables
+    frame-level precomputed per-observation pair costs
     (ops.epipolar.pairwise_association_costs, packaged by `associate`) with
-    FOUR one-hot MXU matmuls over the hypotheses' observation identities —
+    ONE one-hot MXU matmul over the hypotheses' observation identities —
     the sequential step does no epipolar math and materializes no
-    [H, C, D] intermediates. (XLA lowers 2D-indexed gathers to serialized
-    dynamic-slices on TPU; the equivalent [H, C*D'] x [C*D', D] contraction
-    with 0/1 weights under Precision.HIGHEST is exact and runs on the MXU
-    in microseconds.)
+    [H, C, D] intermediates. The step body is deliberately free of gathers
+    and scatters: XLA lowers vector-indexed gathers/scatters to serialized
+    dynamic-slices on TPU (microseconds each inside a 64-step scan), so
+    every indexed access is expressed as a one-hot contraction or masked
+    reduction instead; the equivalent 0/1-weighted matmuls under
+    Precision.HIGHEST are exact.
 
     When no hypothesis exists yet every valid detection seeds one — which
     reproduces the reference's 'first camera with usable detections seeds
     the set' rule (:566-586) without a special case.
 
     Args:
-      tables_c: [4, C*D', D] stacked per-observation tables against the
-        current camera's detections, flattened over (camera, detection):
-        [0] cost*usable, [1] usable, [2] usable & cost>gate & confident,
-        [3] usable & cost>gate.
+      ctab_c: [C*D', D] per-observation cost against the current camera's
+        detections, flattened over (camera, detection); -1 sentinel where
+        the pair is unusable (no shared confident joint / same camera /
+        future camera). Costs are >= 0, so usability is `ctab_c >= 0`.
+      conf_obs: [C*D'] observation confident-voter flag ((score > 0.5),
+        :352) per source observation.
       det_ok: [D] bool — usable detections of the current camera.
     """
     h, c = carry.det_slot.shape
     d = det_ok.shape[0]
-    dtype = tables_c.dtype
-    d1 = tables_c.shape[1] // c
+    dtype = ctab_c.dtype
+    d1 = ctab_c.shape[0] // c
 
     # One-hot observation identities [H, C*D']: row (h, c'*D'+d') is 1 iff
     # hypothesis h observes detection d' in camera c'. Cameras not in the
@@ -117,9 +122,24 @@ def _associate_camera(
     onehot = (
         carry.det_slot[:, :, None] == jnp.arange(d1, dtype=jnp.int32)
     ).astype(dtype).reshape(h, c * d1)
-    sums = linalg.heinsum("hx,txd->thd", onehot, tables_c)  # [4, H, D]
+    # Derive the four per-observation tables from the sentinel cost block
+    # ([0] cost*usable, [1] usable, [2] usable & cost>gate & confident,
+    # [3] usable & cost>gate; the gate is > 0 > sentinel so `big` needs no
+    # usable mask) and contract them in one [H, X] x [X, 4D] matmul.
+    usable = (ctab_c >= 0).astype(dtype)
+    big = (ctab_c > config.max_epipolar_error).astype(dtype)
+    rhs = jnp.concatenate(
+        [
+            jnp.maximum(ctab_c, 0.0),
+            usable,
+            big * conf_obs[:, None],
+            big,
+        ],
+        axis=1,
+    )  # [X, 4D]
+    sums = linalg.heinsum("hx,xe->he", onehot, rhs).reshape(h, 4, d)
     total, n_obs_used, votes_conf, votes_all = (
-        sums[0], sums[1], sums[2], sums[3]
+        sums[:, 0], sums[:, 1], sums[:, 2], sums[:, 3]
     )
 
     # Mean per-observation cost over observations sharing joints (:344-366).
@@ -195,23 +215,19 @@ def _associate_camera(
     # Interpret the assignment (:636-673). An assigned *valid* detection
     # either extends the hypothesis (feasible) or spawns a new one
     # (assigned by the solver but infeasible); unassigned valid detections
-    # spawn new hypotheses too.
-    det_of_hyp = jnp.where(assignment >= 0, assignment, 0)
-    assigned_valid = (assignment >= 0) & det_ok[det_of_hyp]
-    pair_mask = mask[jnp.arange(h), det_of_hyp]
-    extend = assigned_valid & pair_mask  # [H]
-    spawn_from_hyp = assigned_valid & ~pair_mask  # [H] spawns det_of_hyp[h]
+    # spawn new hypotheses too. All index plumbing is one-hot algebra
+    # (every `A`/`S` row has at most one nonzero, so the sums are exact
+    # selections, not approximations).
+    dets = jnp.arange(d, dtype=jnp.int32)
+    A = assignment[:, None] == dets[None, :]  # [H, D] one-hot assignment
+    assigned_valid = jnp.any(A & det_ok[None, :], axis=1)  # [H]
+    pair_ok = jnp.any(A & mask, axis=1)  # [H] assigned pairing feasible
+    extend = assigned_valid & pair_ok  # [H]
+    spawn_from_hyp = assigned_valid & ~pair_ok  # [H] spawns its detection
+    det_of_hyp = jnp.sum(jnp.where(A, dets[None, :], 0), axis=1)  # [H]
 
-    handled = jnp.zeros((d,), bool).at[det_of_hyp].max(assigned_valid)
+    handled = jnp.any(A & assigned_valid[:, None], axis=0)  # [D]
     spawn_unhandled = det_ok & ~handled  # [D]
-
-    # Extend: record each hypothesis' assigned detection at (h, cam_idx).
-    det_slot = carry.det_slot.at[:, cam_idx].set(
-        jnp.where(extend, det_of_hyp, carry.det_slot[:, cam_idx])
-    )
-    cam_mask = carry.cam_mask.at[:, cam_idx].set(
-        carry.cam_mask[:, cam_idx] | extend
-    )
 
     # Spawn order matches the reference: first the solver-assigned-but-
     # infeasible pairs in hypothesis order (:641-650), then unhandled
@@ -222,20 +238,37 @@ def _associate_camera(
     slot2_of_det = n1 + jnp.cumsum(spawn_unhandled.astype(jnp.int32)) - 1
     n2 = n1 + jnp.sum(spawn_unhandled.astype(jnp.int32))
 
-    # Map spawn-1 (indexed by hypothesis) onto detections for scattering.
-    det_to_slot = jnp.full((d,), -1, jnp.int32)
-    det_to_slot = det_to_slot.at[det_of_hyp].max(
-        jnp.where(spawn_from_hyp, slot1_of_hyp, -1)
-    )
+    # Map spawn-1 (indexed by hypothesis) onto detections: detection d is
+    # spawned from hypothesis h iff A[h, d] & spawn_from_hyp[h].
+    det_to_slot = jnp.max(
+        jnp.where(A & spawn_from_hyp[:, None], slot1_of_hyp[:, None], -1),
+        axis=0,
+    )  # [D]
     det_to_slot = jnp.where(spawn_unhandled, slot2_of_det, det_to_slot)
 
-    # Scatter the spawned detections into their new slots (drop overflow).
-    ok = (det_to_slot >= 0) & (det_to_slot < h)
-    tgt = jnp.where(ok, det_to_slot, h)
-    det_slot = det_slot.at[tgt, cam_idx].set(
-        jnp.arange(d, dtype=jnp.int32), mode="drop"
-    )
-    cam_mask = cam_mask.at[tgt, cam_idx].set(ok, mode="drop")
+    # New value of state column `cam_idx`, built as full [H] vectors and
+    # merged with a camera one-hot select (no dynamic-index scatter).
+    # S[h', d]: detection d spawns INTO slot h' (overflow >= h matches no
+    # slot and is dropped, counted below).
+    S = det_to_slot[None, :] == jnp.arange(h, dtype=jnp.int32)[:, None]
+    spawn_on = jnp.any(S, axis=1)  # [H]
+    spawn_det = jnp.sum(jnp.where(S, dets[None, :], 0), axis=1)  # [H]
+
+    cam1h = jnp.arange(c, dtype=jnp.int32) == cam_idx  # [C]
+    old_col_det = jnp.max(
+        jnp.where(cam1h[None, :], carry.det_slot, -1), axis=1
+    )  # det_slot[:, cam_idx] (unobserved slots are -1, the column minimum)
+    old_col_on = jnp.any(carry.cam_mask & cam1h[None, :], axis=1)
+
+    new_col_det = jnp.where(
+        extend,
+        det_of_hyp,
+        jnp.where(spawn_on, spawn_det, old_col_det),
+    ).astype(jnp.int32)
+    new_col_on = old_col_on | extend | spawn_on
+
+    det_slot = jnp.where(cam1h[None, :], new_col_det[:, None], carry.det_slot)
+    cam_mask = jnp.where(cam1h[None, :], new_col_on[:, None], carry.cam_mask)
     return _AssocCarry(
         det_slot=det_slot,
         cam_mask=cam_mask,
@@ -282,27 +315,44 @@ def associate(
     # Pair-packed per-observation costs (C(C-1)/2 unordered pairs — the
     # greedy scan only ever pairs an earlier-camera observation with the
     # current camera's detections, so the lower triangle never exists),
-    # folded with the masks the scan step needs into four tables (see
-    # _associate_camera): the step's whole cost/veto assembly then reduces
-    # to one stacked matmul against the hypotheses' one-hot observation
-    # identities. The tables are scattered DIRECTLY into the
-    # [C2, 4, C1*D1, D2] scan layout — the dense ordered [C,D,C,D] tensor
-    # (67 MB at 64x32) never materializes.
+    # scattered DIRECTLY into the [C2, C1*D1, D2] scan layout with a -1
+    # sentinel marking unusable pairs — the step derives its four matmul
+    # tables from this ONE block (see _associate_camera), so neither the
+    # dense ordered [C,D,C,D] tensor (67 MB at 64x32) nor a 4x stacked
+    # table ever materializes.
     cost_p, usable_p, iu, ju = epipolar.pairwise_association_costs_packed(
         kp_n, rig.F, config.min_kp_score
     )  # [Np, D1(obs cam iu), D2(det cam ju)]
-    u = usable_p.astype(dtype)
-    big = (cost_p > config.max_epipolar_error).astype(dtype) * u
-    conf = (det_score > 0.5).astype(dtype)  # [C, D] voting right (:352)
-    tables_p = jnp.stack(
-        [cost_p * u, u, big * conf[iu][:, :, None], big], axis=1
-    )  # [Np, 4, D1, D2]
-    tables = (
-        jnp.zeros((c, 4, c, d, d), dtype)
-        .at[ju, :, iu]
-        .set(tables_p)
-        .reshape(c, 4, c * d, d)
-    )  # [C2, 4, C1*D1, D2]: the scan over the current camera slices axis 0.
+    ctab = (
+        jnp.full((c, c, d, d), -1.0, dtype)
+        .at[ju, iu]
+        .set(jnp.where(usable_p, cost_p, -1.0))
+        .reshape(c, c * d, d)
+    )  # [C2, C1*D1, D2]: the scan over the current camera slices axis 0.
+    conf_obs = (det_score > 0.5).astype(dtype).reshape(c * d)  # (:352)
+
+    if config.assignment_impl == "pallas_scan":
+        # The whole C-step fold in ONE Pallas launch (assembly matmul + JV
+        # + state update per camera, 8 frames sublane-packed into the JV):
+        # see ops.association_pallas. Bit-equal to the scan below except on
+        # exactly-tied solver optima (documented there).
+        from smartedgesensor3dhumanpose_tpu.ops import association_pallas
+
+        scan = association_pallas.make_associate_scan(
+            h_cap=h,
+            gate=float(config.max_epipolar_error),
+            max_cost=float(config.max_cost),
+        )
+        det_slot, n_hyp, n_dropped = scan(ctab, conf_obs, det_ok)
+        carry = _AssocCarry(
+            det_slot=det_slot,
+            cam_mask=det_slot >= 0,
+            n_hyp=n_hyp,
+            n_dropped=n_dropped,
+        )
+        return _gather_hypotheses(
+            carry, kp_n, cov_n, det_score, d, dtype
+        )
 
     carry0 = _AssocCarry(
         det_slot=jnp.full((h, c), -1, jnp.int32),
@@ -315,36 +365,55 @@ def associate(
         carry = carry0
         for ci in range(c):
             carry = _associate_camera(
-                carry, jnp.int32(ci), tables[ci], det_ok[ci], config
+                carry, jnp.int32(ci), ctab[ci], conf_obs, det_ok[ci], config
             )
     else:
         def step(cy, xs):
-            cam_idx, tables_c, d_ok = xs
+            cam_idx, ctab_c, d_ok = xs
             return (
-                _associate_camera(cy, cam_idx, tables_c, d_ok, config),
+                _associate_camera(
+                    cy, cam_idx, ctab_c, conf_obs, d_ok, config
+                ),
                 None,
             )
 
         carry, _ = jax.lax.scan(
             step,
             carry0,
-            (jnp.arange(c, dtype=jnp.int32), tables, det_ok),
+            (jnp.arange(c, dtype=jnp.int32), ctab, det_ok),
             unroll=min(4, c),
         )
 
-    # Materialize the hypothesis observations: gather each (h, c) slot's
-    # detection data (the reference pushes copies into PersonHypothesis
-    # vectors as it goes; here it is one gather at the end).
-    slot = jnp.where(carry.det_slot >= 0, carry.det_slot, 0)
-    cam_r = jnp.arange(c)[None, :]
+    return _gather_hypotheses(carry, kp_n, cov_n, det_score, d, dtype)
+
+
+def _gather_hypotheses(
+    carry: _AssocCarry,
+    kp_n: jnp.ndarray,
+    cov_n: jnp.ndarray,
+    det_score: jnp.ndarray,
+    d: int,
+    dtype,
+) -> HypothesisSet:
+    """Materialize the hypothesis observations: select each (h, c) slot's
+    detection data (the reference pushes copies into PersonHypothesis
+    vectors as it goes; here it is one one-hot contraction at the end —
+    a [H, C, D] x [C, D, ...] matmul instead of a serialized 2D gather)."""
+    sel = (
+        carry.det_slot[:, :, None] == jnp.arange(d, dtype=jnp.int32)
+    ).astype(dtype)  # [H, C, D]; det_slot -1 rows are all-zero
     on = carry.cam_mask
     kp = jnp.where(
         on[..., None, None],
-        kp_n[cam_r, slot],
+        linalg.heinsum("hcd,cdjk->hcjk", sel, kp_n),
         jnp.asarray([0.0, 0.0, -1.0], kp_n.dtype),  # conf -1: unobserved
     )
-    cov = jnp.where(on[..., None, None], cov_n[cam_r, slot], 0.0)
-    obs_score = jnp.where(on, det_score[cam_r, slot], 0.0)
+    cov = jnp.where(
+        on[..., None, None], linalg.heinsum("hcd,cdjk->hcjk", sel, cov_n), 0.0
+    )
+    obs_score = jnp.where(
+        on, linalg.heinsum("hcd,cd->hc", sel, det_score), 0.0
+    )
     return HypothesisSet(
         kp=kp,
         cov=cov,

@@ -38,8 +38,14 @@ def _row0():
 
 
 def _select_scalar(vec, idx):
-    """vec[0, idx] via a branch-free masked reduction (no dynamic gather)."""
-    return jnp.sum(jnp.where((_lane_ids() == idx) & _row0(), vec, 0))
+    """vec[0, idx] via a branch-free masked reduction (no dynamic gather).
+
+    dtype pinned to the input's: under x64 (the CPU interpret test path)
+    jnp.sum would otherwise promote int32 to int64 and break while_loop
+    carry typing."""
+    return jnp.sum(
+        jnp.where((_lane_ids() == idx) & _row0(), vec, 0), dtype=vec.dtype
+    )
 
 
 def _jv_kernel(
@@ -141,7 +147,10 @@ def _jv_kernel(
     roc = roc_ref[:]
 
     def invert_row(i, _):
-        j_of_i = jnp.sum(jnp.where((roc == i) & valid & _row0(), col, 0))
+        j_of_i = jnp.sum(
+            jnp.where((roc == i) & valid & _row0(), col, 0),
+            dtype=jnp.int32,
+        )
         out_ref[:] = jnp.where(col[0:1] == i, j_of_i, out_ref[:])
         return 0
 
@@ -180,10 +189,9 @@ def _solve_padded(cost_padded: jnp.ndarray, n: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _jv_kernel_batched(
+def jv_core_batched(
     n: int,
-    cost_ref,
-    out_ref,
+    cost,
     u_ref,
     v_ref,
     roc_ref,
@@ -193,20 +201,20 @@ def _jv_kernel_batched(
     tree_ref,
     j0_ref,
 ):
-    """cost_ref: [1, 8, R, 128] (8 problems); out_ref: [1, 8, 128].
+    """The sublane-batched JV solve as a reusable in-kernel routine.
 
-    Solver state lives in (8, 128) VMEM scratch tiles (one problem per
-    sublane); the search/augment loops are while_loops carrying only
+    cost: [8, R_pad, 128] VALUE (8 problems, one per leading index).
+    Returns col_of_row [8, 128] int32 (-1 for rows beyond the matching).
+    Callers provide the eight (8, 128) scratch refs; all loops carry only
     scalars (Mosaic cannot legalize loop-carried vectors with replicated
-    sublane layouts) that exit as soon as EVERY sublane's search is done —
+    sublane layouts) and exit as soon as EVERY sublane's walk is done —
     typical augmenting paths finish in a few steps, not the n+1 worst case,
     so the early exit cuts the sequential step count several-fold."""
-    r_pad = cost_ref.shape[2]
+    r_pad = cost.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 1)
     valid = lane < n
     virt = jnp.int32(n)
 
-    cost = cost_ref[0]  # [8, R, 128]
     row_in = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, r_pad, _LANES), 1)
 
     def cost_row(i0):
@@ -215,9 +223,10 @@ def _jv_kernel_batched(
         return jnp.sum(jnp.where(sel, cost, 0.0), axis=1)
 
     def sel_lane(vec, idx):
-        """vec[s, idx[s]] -> (8, 1)."""
+        """vec[s, idx[s]] -> (8, 1). dtype pinned (x64 would promote)."""
         return jnp.sum(
-            jnp.where(lane == idx, vec, 0), axis=1, keepdims=True
+            jnp.where(lane == idx, vec, 0), axis=1, keepdims=True,
+            dtype=vec.dtype,
         )
 
     u_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
@@ -305,14 +314,34 @@ def _jv_kernel_batched(
 
     def invert_row(i, out):
         j_of_i = jnp.sum(
-            jnp.where((roc == i) & valid, lane, 0), axis=1, keepdims=True
+            jnp.where((roc == i) & valid, lane, 0), axis=1, keepdims=True,
+            dtype=jnp.int32,
         )
         return jnp.where(lane == i, j_of_i, out)
 
-    out = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, n, invert_row, jnp.full((_SUBS, _LANES), -1, jnp.int32)
     )
-    out_ref[0] = out
+
+
+def _jv_kernel_batched(
+    n: int,
+    cost_ref,
+    out_ref,
+    u_ref,
+    v_ref,
+    roc_ref,
+    minv_ref,
+    way_ref,
+    used_ref,
+    tree_ref,
+    j0_ref,
+):
+    """cost_ref: [1, 8, R, 128] (8 problems); out_ref: [1, 8, 128]."""
+    out_ref[0] = jv_core_batched(
+        n, cost_ref[0], u_ref, v_ref, roc_ref, minv_ref, way_ref,
+        used_ref, tree_ref, j0_ref,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))

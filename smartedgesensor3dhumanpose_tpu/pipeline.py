@@ -195,16 +195,18 @@ class Pipeline:
         rig = self.rig
         # Under the frame-batched vmap the association's lax.cond is
         # speculated into a select (both branches always run), so the
-        # branch-protected while-loop solver buys nothing — run the Pallas
-        # solver unconditionally instead (identical assignments, fewer
-        # sequential kernels). The online step keeps "cond_while".
+        # branch-protected while-loop solver buys nothing — run the FUSED
+        # association kernel instead (the whole camera fold + JV solves in
+        # one Pallas launch per frame group, ops.association_pallas; equal
+        # outputs except on exactly-tied solver optima). The online step
+        # keeps "cond_while".
         fusion_cfg = config.fusion
         if (
             fusion_cfg.assignment_impl == "cond_while"
             and jax.default_backend() == "tpu"
         ):
             fusion_cfg = dataclasses.replace(
-                fusion_cfg, assignment_impl="pallas"
+                fusion_cfg, assignment_impl="pallas_scan"
             )
 
         def fuse_one(frame):
