@@ -113,7 +113,15 @@ def triangulation_covariance(
         P, kp_v, view_mask[..., None, :], weight_by_conf=False
     )  # [..., 4, C, 5]
     dcoeff = coeff_v - coeff0[..., None, :, :]  # [..., 4, C, 5]
-    dM = linalg.heinsum("...vck,ckij->...cvij", dcoeff, const)
+    # dM contracted over the FIVE coefficient terms as unrolled multiply-
+    # adds, not a dot: the dot form materializes the [..., C, 4, 4, 4]
+    # delta tensor in HBM (tens of MB per scaled frame), while the unrolled
+    # form fuses with M_s assembly and the adjugate solve below into one
+    # elementwise program whose traffic is just the [..., 4, C, 5] input.
+    dc = jnp.swapaxes(dcoeff, -3, -2)[..., None, None]  # [..., C, 4(v), 5, 1, 1]
+    dM = sum(
+        dc[..., k, :, :] * const[:, k][:, None] for k in range(5)
+    )  # [..., C, 4(v), 4, 4]
     M_s = (M0[..., None, None, :, :] + dM).reshape(
         batch + (4 * c, 4, 4)
     )  # sample order s = 4*c + v, matching w_s below
@@ -127,7 +135,22 @@ def triangulation_covariance(
 
     d_s = t_s - mean_xyz[..., None, :]  # [..., S, 3]
     d_0 = t_0 - mean_xyz  # [..., 3]
-    cov = linalg.heinsum("...s,...si,...sj->...ij", w_s, d_s, d_s)
+    # Weighted scatter as six unrolled reductions (the dot form is another
+    # fusion barrier on the [..., S, 3] sigma deviations).
+    wd = w_s[..., None] * d_s  # [..., S, 3]
+    comps = [
+        jnp.sum(wd[..., i] * d_s[..., j], axis=-1)
+        for (i, j) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    ]
+    xx, xy, xz, yy, yz, zz = comps
+    cov = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
     cov = cov + w_0[..., None, None] * d_0[..., :, None] * d_0[..., None, :]
     return cov
 
@@ -165,20 +188,26 @@ def project_with_covariance(
     offsets = jnp.concatenate([zero, -cols, cols], axis=-2)  # [..., 7, 3]
     samples = xyz[..., None, :] + offsets  # [..., 7, 3]
 
-    # Transform into each camera and project: [..., 7, C, 2].
-    sam_h = jnp.concatenate(
-        [samples, jnp.ones(samples.shape[:-1] + (1,), dtype)], axis=-1
-    )
-    cam_pts = linalg.heinsum("cij,...sj->...sci", P, sam_h)  # [..., 7, C, 3]
-    z = cam_pts[..., 2]
+    # Transform into each camera and project, written COMPONENTWISE: the
+    # rigid transform contracts only 4 terms, so expressing it as broadcast
+    # multiply-adds (instead of a dot) lets XLA fuse the entire
+    # (batch x sigma x camera) product into the weighted reductions below —
+    # nothing of shape [..., 7, C, *] is ever materialized in HBM. (On the
+    # scaled 64-camera config the dot-shaped form wrote hundreds of MB of
+    # sigma-point projections per batch.)
+    sx = samples[..., 0:1]  # [..., 7, 1]
+    sy = samples[..., 1:2]
+    sz = samples[..., 2:3]
+
+    def cam_row(i):
+        return (
+            P[:, i, 0] * sx + P[:, i, 1] * sy + P[:, i, 2] * sz + P[:, i, 3]
+        )  # [..., 7, C]
+
+    z = cam_row(2)
     z = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-    px = jnp.stack(
-        [
-            K[:, 0] * cam_pts[..., 0] / z + K[:, 2],
-            K[:, 1] * cam_pts[..., 1] / z + K[:, 3],
-        ],
-        axis=-1,
-    )  # [..., 7, C, 2]
+    px_x = K[:, 0] * cam_row(0) / z + K[:, 2]  # [..., 7, C]
+    px_y = K[:, 1] * cam_row(1) / z + K[:, 3]
 
     denom = 2.0 * (dim + kappa)
     w = jnp.concatenate(
@@ -186,12 +215,18 @@ def project_with_covariance(
             jnp.full((1,), 2.0 * kappa / denom, dtype),
             jnp.full((6,), 1.0 / denom, dtype),
         ]
-    )  # [7]
-    mean_px = linalg.heinsum("s,...sci->...ci", w, px)
-    d = px - mean_px[..., None, :, :]
-    cov_full = linalg.heinsum("s,...sci,...scj->...cij", w, d, d)
+    )[:, None]  # [7, 1]
+    mean_x = jnp.sum(w * px_x, axis=-2)  # [..., C]
+    mean_y = jnp.sum(w * px_y, axis=-2)
+    dx = px_x - mean_x[..., None, :]
+    dy = px_y - mean_y[..., None, :]
     cov_px = jnp.stack(
-        [cov_full[..., 0, 0], cov_full[..., 0, 1], cov_full[..., 1, 1]],
+        [
+            jnp.sum(w * dx * dx, axis=-2),
+            jnp.sum(w * dx * dy, axis=-2),
+            jnp.sum(w * dy * dy, axis=-2),
+        ],
         axis=-1,
-    )
+    )  # [..., C, 3]
+    mean_px = jnp.stack([mean_x, mean_y], axis=-1)  # [..., C, 2]
     return mean_px, cov_px

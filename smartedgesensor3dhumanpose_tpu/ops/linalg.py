@@ -138,12 +138,21 @@ def smallest_eigvec4_psd(a: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
     """
     adj = adjugate4(a)
     # Start from the dominant column of adj(A) (all columns align with the
-    # nullvector when the smallest eigenvalue separates).
+    # nullvector when the smallest eigenvalue separates). The column pick
+    # and the matvecs are written as one-hot selects / unrolled
+    # multiply-adds, NOT gathers/dots: everything from the caller's normal-
+    # matrix assembly through here then fuses into one elementwise program
+    # (the sigma-point batches of the scaled config are HBM-bound, and each
+    # dot or gather in this chain is a fusion barrier that materializes a
+    # [batch, 4, 4] tensor).
     norms = jnp.sum(adj * adj, axis=-2)
     idx = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(adj, idx[..., None, None], axis=-1)[..., 0]
+    v = sum(
+        jnp.where((idx == k)[..., None], adj[..., :, k], 0.0)
+        for k in range(4)
+    )
     for _ in range(iters - 1):
-        v = heinsum("...ij,...j->...i", adj, v)
+        v = sum(adj[..., :, k] * v[..., k:k + 1] for k in range(4))
         n = jnp.linalg.norm(v, axis=-1, keepdims=True)
         v = v / jnp.where(n > 0, n, 1.0)
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)

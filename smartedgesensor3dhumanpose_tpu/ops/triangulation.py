@@ -221,12 +221,27 @@ def reprojection_error(
     Returns:
       [...] error.
     """
-    xyz_h = jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], axis=-1)
-    proj = linalg.heinsum("cij,...j->...ci", P, xyz_h)
-    z = proj[..., 2]
+    # Componentwise projection (4-term multiply-adds, not a dot): the LOO
+    # batch of the scaled config projects [H, J, C, C] points — as a dot
+    # that materializes tens of MB; elementwise it fuses into the error
+    # reduction.
+    x = xyz[..., None, 0:1]  # [..., 1, 1] broadcast over C
+    y = xyz[..., None, 1:2]
+    zc = xyz[..., None, 2:3]
+
+    def row(i):
+        return (
+            P[:, i, 0] * x[..., 0]
+            + P[:, i, 1] * y[..., 0]
+            + P[:, i, 2] * zc[..., 0]
+            + P[:, i, 3]
+        )  # [..., C]
+
+    z = row(2)
     z = jnp.where(jnp.abs(z) > 1e-20, z, 1e-20)
-    px = proj[..., :2] / z[..., None]
-    err = jnp.linalg.norm(px - kp[..., :2], axis=-1)
+    ex = row(0) / z - kp[..., 0]
+    ey = row(1) / z - kp[..., 1]
+    err = jnp.sqrt(ex * ex + ey * ey)
     conf = jnp.where(view_mask, kp[..., 2], 0.0)
     norm = jnp.sum(conf, axis=-1)
     total = jnp.sum(conf * jnp.where(view_mask, err, 0.0), axis=-1)
