@@ -22,7 +22,7 @@ import numpy as np
 
 from smartedgesensor3dhumanpose_tpu import prior, skeleton
 from smartedgesensor3dhumanpose_tpu.config import PriorConfig, TrackerConfig
-from smartedgesensor3dhumanpose_tpu.ops import hungarian
+from smartedgesensor3dhumanpose_tpu.ops import hungarian, linalg
 from smartedgesensor3dhumanpose_tpu.types import Persons3D, TrackerState
 
 _K = skeleton.NUM_FUSION_JOINTS
@@ -128,49 +128,64 @@ def step(
     has_dets = jnp.any(persons.valid)
 
     # ---- association (:548-580)
+    # Every indexed access below is a one-hot contraction / masked reduce,
+    # not a gather or scatter: this step runs inside the sequential
+    # per-frame scan, where XLA lowers vector-indexed gathers/scatters to
+    # serialized dynamic-slices on TPU. The one-hot selections are exact
+    # (at most one nonzero per row; heinsum is Precision.HIGHEST).
     cost = _association_cost(state, persons, t, cfg, prior_cfg)
     assignment = hungarian.linear_sum_assignment(
         jnp.minimum(cost, _COST_CLIP)
     )  # [P] -> track slot or -1
+    t_ids = jnp.arange(t_slots, dtype=jnp.int32)
+    A = assignment[:, None] == t_ids[None, :]  # [P, T]; -1 matches nothing
     track_of = jnp.where(assignment >= 0, assignment, 0)
+    assigned_cost = jnp.sum(jnp.where(A, cost, 0.0), axis=1)
     gated = (
         (assignment >= 0)
-        & (cost[jnp.arange(p), track_of] <= cfg.dist_threshold)
-        & state.alive[track_of]
+        & (assigned_cost <= cfg.dist_threshold)
+        & jnp.any(A & state.alive[None, :], axis=1)
     )
     matched = persons.valid & gated
 
-    # New tracks for unmatched valid persons, in person order (:570-580).
+    # New tracks for unmatched valid persons, in person order (:570-580):
+    # spawn p lands in the rank[p]-th dead slot.
     spawn = persons.valid & ~matched
-    free_slots = jnp.nonzero(
-        ~state.alive, size=t_slots, fill_value=t_slots
-    )[0]
     rank = jnp.cumsum(spawn.astype(jnp.int32)) - 1
+    dead = ~state.alive
+    free_pos = jnp.cumsum(dead.astype(jnp.int32)) - 1  # [T]
+    S_free = (
+        spawn[:, None] & dead[None, :] & (free_pos[None, :] == rank[:, None])
+    )  # [P, T], at most one slot per person
+    new_ok = jnp.any(S_free, axis=1)
     slot_new = jnp.where(
-        spawn & (rank < jnp.sum(~state.alive)),
-        free_slots[jnp.clip(rank, 0, t_slots - 1)],
+        new_ok,
+        jnp.sum(jnp.where(S_free, t_ids[None, :], 0), axis=1, dtype=jnp.int32),
         t_slots,  # overflow -> dropped
     )
-    new_ok = spawn & (slot_new < t_slots)
     n_dropped_spawns = (
         jnp.sum(spawn.astype(jnp.int32)) - jnp.sum(new_ok.astype(jnp.int32))
     )
     track_idx = jnp.where(matched, track_of, jnp.where(new_ok, slot_new, t_slots))
     has_track = matched | new_ok
 
-    # Initialize spawned slots.
+    # Initialize spawned slots: S1[t, p] marks slot t receiving spawn p.
     new_ids = state.next_id + rank
-    alive = state.alive.at[slot_new].set(new_ok, mode="drop")
-    track_id = state.track_id.at[slot_new].set(
-        jnp.where(new_ok, new_ids, -1), mode="drop"
+    S1 = slot_new[None, :] == t_ids[:, None]  # [T, P]
+    spawned = jnp.any(S1, axis=1)  # [T]
+    alive = state.alive | spawned
+    track_id = jnp.where(
+        spawned,
+        jnp.sum(jnp.where(S1, new_ids[None, :], 0), axis=1, dtype=jnp.int32),
+        state.track_id,
     )
-    est = state.estimate.at[slot_new].set(0.0, mode="drop")
-    est_exists = state.est_exists.at[slot_new].set(False, mode="drop")
-    vel_buf = state.vel_buffer.at[slot_new].set(0.0, mode="drop")
-    t_prev = state.t_prev.at[slot_new].set(t, mode="drop")
-    num_obs = state.num_obs.at[slot_new].set(0, mode="drop")
-    height_prev = state.height_prev.at[slot_new].set(-1.0, mode="drop")
-    root_prev = state.root_prev.at[slot_new].set(0.0, mode="drop")
+    est = jnp.where(spawned[:, None, None], 0.0, state.estimate)
+    est_exists = state.est_exists & ~spawned[:, None]
+    vel_buf = jnp.where(spawned[:, None, None, None], 0.0, state.vel_buffer)
+    t_prev = jnp.where(spawned, t, state.t_prev)
+    num_obs = jnp.where(spawned, 0, state.num_obs)
+    height_prev = jnp.where(spawned, -1.0, state.height_prev)
+    root_prev = jnp.where(spawned[:, None], 0.0, state.root_prev)
     next_id = (state.next_id + jnp.sum(new_ok.astype(jnp.int32))).astype(
         jnp.int32
     )
@@ -182,12 +197,18 @@ def step(
         g_in = precomputed[0]
     participates = has_track & (g_in.num_meas > 0)  # (:739-741)
 
-    # Gather per-person previous track state (garbage where no track; masked).
+    # Gather per-person previous track state (garbage where no track; masked)
+    # via one-hot contractions over the track axis.
     safe_idx = jnp.where(has_track, track_idx, 0)
-    prev_est_p = est[safe_idx]
-    prev_exists_p = est_exists[safe_idx] & has_track[:, None]
-    h_prev_p = height_prev[safe_idx]
-    root_prev_p = root_prev[safe_idx]
+    G = safe_idx[:, None] == t_ids[None, :]  # [P, T] exactly one per row
+    Gf = G.astype(dtype)
+    prev_est_p = linalg.heinsum("pt,tkx->pkx", Gf, est)
+    prev_exists_p = (
+        jnp.any(G[:, :, None] & est_exists[None], axis=1)
+        & has_track[:, None]
+    )
+    h_prev_p = jnp.sum(jnp.where(G, height_prev[None, :], 0.0), axis=1)
+    root_prev_p = linalg.heinsum("pt,tx->px", Gf, root_prev)
     # height_prev < 0 -> initialize from current (:699-702).
     uninit = h_prev_p < 0
     h_prev_p = jnp.where(uninit, g_in.height, h_prev_p)
@@ -210,7 +231,7 @@ def step(
     prev_world = prev_est_p * h_prev_p[:, None, None] + root_prev_p[:, None]
     vel = (curr_world - prev_world) / dt_glob  # [P, K, 3]
 
-    vel_buf_p = vel_buf[safe_idx]  # [P, K, W, 3]
+    vel_buf_p = linalg.heinsum("pt,tkwx->pkwx", Gf, vel_buf)  # [P, K, W, 3]
     # Joints dropped from the estimate reset their buffer (:490-493).
     removed = prev_exists_p & ~g_in.active
     vel_buf_p = jnp.where(removed[..., None, None], 0.0, vel_buf_p)
@@ -228,25 +249,48 @@ def step(
         g_in.active[..., None, None], cov_out + pred_noise, 0.0
     )
 
-    # ---- write back track state (:839-843)
+    # ---- write back track state (:839-843): M2[t, p] marks slot t updated
+    # from person p (each updated slot receives exactly one person).
     upd = participates & has_dets
     scatter_idx = jnp.where(upd, track_idx, t_slots)
-    est = est.at[scatter_idx].set(result.x, mode="drop")
-    est_exists = est_exists.at[scatter_idx].set(g_in.active, mode="drop")
-    vel_buf = vel_buf.at[scatter_idx].set(vel_buf_p, mode="drop")
-    t_prev = t_prev.at[scatter_idx].set(t, mode="drop")
-    height_prev = height_prev.at[scatter_idx].set(g_in.height, mode="drop")
-    root_prev = root_prev.at[scatter_idx].set(g_in.root_xyz, mode="drop")
-    num_obs = num_obs.at[scatter_idx].add(
-        jnp.where(upd, 1, 0).astype(jnp.int32), mode="drop"
+    M2 = scatter_idx[None, :] == t_ids[:, None]  # [T, P]
+    updated = jnp.any(M2, axis=1)  # [T]
+    M2f = M2.astype(dtype)
+    est = jnp.where(
+        updated[:, None, None], linalg.heinsum("tp,pkx->tkx", M2f, result.x),
+        est,
     )
+    est_exists = jnp.where(
+        updated[:, None],
+        jnp.any(M2[:, :, None] & g_in.active[None], axis=1),
+        est_exists,
+    )
+    vel_buf = jnp.where(
+        updated[:, None, None, None],
+        linalg.heinsum("tp,pkwx->tkwx", M2f, vel_buf_p),
+        vel_buf,
+    )
+    t_prev = jnp.where(updated, t, t_prev)
+    height_prev = jnp.where(
+        updated, jnp.sum(jnp.where(M2, g_in.height[None, :], 0.0), axis=1),
+        height_prev,
+    )
+    root_prev = jnp.where(
+        updated[:, None], linalg.heinsum("tp,px->tx", M2f, g_in.root_xyz),
+        root_prev,
+    )
+    num_obs = num_obs + updated.astype(jnp.int32)
 
     # Publish gate (:845-848): strictly more than min_num_obs observations
-    # (count includes this frame's).
-    obs_after = num_obs[jnp.where(has_track, track_idx, 0)]
+    # (count includes this frame's). G re-selects with the same safe index.
+    obs_after = jnp.sum(
+        jnp.where(G, num_obs[None, :], 0), axis=1, dtype=jnp.int32
+    )
     publish = upd & (obs_after > cfg.min_num_obs)
     person_ids = jnp.where(
-        has_track, track_id[jnp.where(has_track, track_idx, 0)], -1
+        has_track,
+        jnp.sum(jnp.where(G, track_id[None, :], 0), axis=1, dtype=jnp.int32),
+        -1,
     )
 
     fused = Persons3D(
@@ -363,9 +407,21 @@ def _merge_tracks(
             pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
             return (alive, fid, pid), None
 
-        js = jnp.arange(1, t_slots)
-        carry, _ = jax.lax.scan(
-            step_xs, carry, (js, jnp.swapaxes(close_mat, 0, 1)[1:])
+        def sweep(carry):
+            js = jnp.arange(1, t_slots)
+            carry, _ = jax.lax.scan(
+                step_xs, carry, (js, jnp.swapaxes(close_mat, 0, 1)[1:])
+            )
+            return carry
+
+        # Most frames have NO close track pair at all — skip the whole
+        # T-1-step sweep then. The scan inside the branch lowers to a
+        # device loop, so XLA cannot speculate the branch away (unlike a
+        # loop-free cond, which would become an always-executed select);
+        # tracking.step runs un-vmapped in both the online path and the
+        # offline tracker scan, so the cond stays a true branch.
+        carry = jax.lax.cond(
+            jnp.any(close_mat), sweep, lambda c: c, carry
         )
     alive, fid, pid = carry
     return (
