@@ -41,6 +41,23 @@ from smartedgesensor3dhumanpose_tpu.types import CameraRig, Frame, Persons3D
 # (infeasible) entries collapse to one value that still dominates any real
 # epipolar cost, keeping float32 reduced costs accurate (see ops.hungarian).
 _ASSIGN_COST_CLIP = 1.0e3
+# Deterministic tie-break for clipped (infeasible) entries: each adds
+# eps * (hyp_index + 1) * (det_index + 1). Equal-total optima that differ in
+# which infeasible detection a hypothesis absorbs would otherwise be broken
+# by solver internals (and the fused Pallas kernel solves the TRANSPOSED
+# problem, whose internal order differs); the product term is symmetric
+# under transposition, so every solver path picks the same assignment. Small
+# enough (< 17 at 128x128 slots) never to flip a feasible-vs-infeasible or
+# cross-tier comparison, large enough that distinct products differ by well
+# over the float32 resolution at 1e3 (~1.2e-4).
+_SOLVER_TIE_EPS = 1.0e-3
+# Invalid detection slots get a strictly higher tier than valid-but-
+# infeasible pairings, so a hypothesis with no feasible detection is
+# assigned a VALID infeasible detection whenever one is available — exactly
+# mirroring the fused Pallas kernel, which excludes invalid rows from its
+# (transposed) solve altogether. Which invalid slot absorbs a hypothesis is
+# consumer-invariant (both spawn nothing), so this tier needs no tie-break.
+_INVALID_DET_COST = 2.0 * _ASSIGN_COST_CLIP
 
 
 class HypothesisSet(NamedTuple):
@@ -179,6 +196,19 @@ def _associate_camera(
             any_row, jnp.argmax(mask, axis=1).astype(jnp.int32), -1
         )
 
+    # Clip + deterministic tie-break (see _SOLVER_TIE_EPS/_INVALID_DET_COST
+    # above): infeasible entries become CLIP + eps*(h+1)*(d+1), invalid
+    # detection slots a strictly higher constant tier.
+    h_idx = jnp.arange(h, dtype=dtype)[:, None]
+    d_idx = jnp.arange(d, dtype=dtype)[None, :]
+    clipped = jnp.minimum(cost, _ASSIGN_COST_CLIP)
+    tie_cost = jnp.where(
+        clipped >= _ASSIGN_COST_CLIP,
+        _ASSIGN_COST_CLIP + _SOLVER_TIE_EPS * (h_idx + 1.0) * (d_idx + 1.0),
+        clipped,
+    )
+    tie_cost = jnp.where(det_ok[None, :], tie_cost, _INVALID_DET_COST)
+
     if config.assignment_impl == "cond_while":
 
         def from_solver(_):
@@ -186,7 +216,7 @@ def _associate_camera(
             # speculate it; the solver only actually executes on the (rare)
             # frames with ambiguous pairings (:628).
             return hungarian.linear_sum_assignment(
-                jnp.minimum(cost, _ASSIGN_COST_CLIP),
+                tie_cost,
                 unroll=False,
                 use_pallas=False,
             )
@@ -200,7 +230,7 @@ def _associate_camera(
         # feed a trivially-solvable matrix instead: the Pallas JV's search
         # loops are data-dependent (early exit), so unambiguous steps —
         # the common case — cost almost nothing.
-        solver_cost = jnp.minimum(cost, _ASSIGN_COST_CLIP)
+        solver_cost = tie_cost
         trivial = jnp.where(
             jnp.arange(h)[:, None] == jnp.arange(d)[None, :],
             jnp.asarray(0.0, dtype),

@@ -48,6 +48,7 @@ from smartedgesensor3dhumanpose_tpu.ops import hungarian_pallas
 _LANES = 128
 _SUBS = 8
 _CLIP = 1.0e3  # fusion._ASSIGN_COST_CLIP
+_TIE_EPS = 1.0e-3  # fusion._SOLVER_TIE_EPS (keep in sync)
 
 
 def _r8(x: int) -> int:
@@ -191,10 +192,21 @@ def _assoc_kernel(
         # JV input: the clipped cost where a solve is needed, else a
         # trivially-solvable matrix (the early-exit makes it nearly free).
         # Lanes [h_cap, n_jv) are dummy hypothesis columns (zero, like the
-        # XLA path's square padding); rows [d_real, dp) are invalid
-        # detections (max_cost like any other invalid slot).
+        # XLA path's square padding). Clipped (infeasible) entries carry the
+        # fusion._SOLVER_TIE_EPS deterministic tie-break — the product term
+        # is transpose-symmetric, so this kernel's detection-major solve
+        # picks the same assignment as fusion._associate_camera's
+        # hypothesis-major one even on tied clipped optima. Invalid
+        # detection rows (incl. the [d_real, dp) padding) sit on the
+        # strictly higher fusion._INVALID_DET_COST tier, mirroring the XLA
+        # path: a hopeless hypothesis column absorbs a VALID infeasible
+        # detection in preference to an invalid one on both sides.
         trivial = jnp.where(d_sub == h_lane_d, 0.0, 1.0)
-        jv_cost = jnp.where(need_b, jnp.minimum(cost, _CLIP), trivial)
+        clipped = jnp.minimum(cost, _CLIP)
+        tie = _TIE_EPS * (d_sub + 1).astype(f32) * (h_lane_d + 1).astype(f32)
+        tiered = jnp.where(clipped >= _CLIP, _CLIP + tie, clipped)
+        tiered = jnp.where(dok, tiered, 2.0 * _CLIP)
+        jv_cost = jnp.where(need_b, tiered, trivial)
         jv_cost = jnp.where(hyp_live_lane, jv_cost, 0.0)
         jv_cost = jnp.where(h_lane_d < n_jv, jv_cost, 0.0)
         if r_pad > dp:
@@ -207,10 +219,33 @@ def _assoc_kernel(
     # ---- one sublane-batched JV for the whole frame group ---------------
     roc_ref = jv_scratch[2]
 
+    # Lane-of-row activity mask [8, 128]: only THIS camera's valid
+    # detections are matched. An invalid row's matching is filtered by the
+    # consumer below (roc < d_real and dok gates), and — because its
+    # 2*_CLIP tier is strictly worse than any valid row's entries — an
+    # invalid row never displaces a valid one, so skipping its augmenting
+    # search changes nothing; on crowded 64-camera frames invalid rows are
+    # a third of the rows and most of the solver's sequential work. The
+    # skip is ONLY sound without dummy zero columns (h_cap >= dp): with
+    # dummy columns present, unmatched-row slack would let a feasible
+    # detection escape to a free zero column instead of extending its
+    # hypothesis (the square problem's row/column completeness is what
+    # forces feasible pairs to be used).
+    if h_cap >= dp:
+        dok_cam = jnp.sum(
+            jnp.where(cam_sel[None], dok_all, 0), axis=1, dtype=jnp.int32
+        )  # [8, Dp]
+        row_act = jnp.concatenate(
+            [dok_cam, jnp.zeros((_SUBS, _LANES - dp), jnp.int32)], axis=1
+        )
+    else:
+        row_act = None
+
     @pl.when(need_any > 0)
     def _solve():
         hungarian_pallas.jv_core_batched(
-            max(h_cap, dp), jnp.stack(jv_inputs, axis=0), *jv_scratch
+            max(h_cap, dp), jnp.stack(jv_inputs, axis=0), *jv_scratch,
+            n_rows=dp, row_active=row_act, invert=False,
         )
 
     roc_all = roc_ref[:]  # [8, 128]: row (detection) matched to each column

@@ -171,7 +171,10 @@ _UNROLL_LIMIT = 24
 
 
 def linear_sum_assignment(
-    cost: jnp.ndarray, unroll: bool = True, use_pallas: bool | None = None
+    cost: jnp.ndarray,
+    unroll: bool = True,
+    use_pallas: bool | None = None,
+    row_active: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Minimum-cost assignment of a rectangular [R, C] cost matrix.
 
@@ -189,6 +192,13 @@ def linear_sum_assignment(
       use_pallas: run the single-kernel Pallas TPU solver
         (ops.hungarian_pallas) — ~40x faster than the XLA forms in
         sequential contexts. Default: automatically on TPU for N <= 120.
+      row_active: optional [R] mask — a PERFORMANCE hint for the Pallas
+        path: rows with 0 skip their augmenting search and return -1. Only
+        pass it for rows whose assignment the caller discards AND whose cost
+        rows sit on a tier strictly above every active row's entries (so
+        they can never displace an active row's optimum), and only with
+        R <= C (no dummy zero columns). The XLA fallback ignores it — by the
+        above contract the consumer-visible outputs are identical.
 
     Returns:
       col_of_row: [R] int32 column per row, -1 for unassigned rows.
@@ -202,6 +212,10 @@ def linear_sum_assignment(
     if use_pallas:
         from smartedgesensor3dhumanpose_tpu.ops import hungarian_pallas
 
+        if row_active is not None:
+            # Direct single-problem call (the custom_vmap wrapper does not
+            # thread the mask; callers passing row_active are sequential).
+            return hungarian_pallas._lsa_pallas_single(cost, row_active)
         return hungarian_pallas.linear_sum_assignment_pallas(cost)
     padded = jnp.zeros((n, n), cost.dtype).at[:r, :c].set(cost)
     if unroll and n <= _UNROLL_LIMIT:

@@ -50,7 +50,9 @@ def _select_scalar(vec, idx):
 
 def _jv_kernel(
     n: int,
+    n_rows: int,
     cost_ref,
+    row_act_ref,
     out_ref,
     u_ref,
     v_ref,
@@ -64,24 +66,84 @@ def _jv_kernel(
 
     Scratch refs hold the solver state as (8, 128) tiles (row 0 meaningful;
     int32 0/1 instead of bools). Loops carry scalars only.
+
+    Only rows [0, n_rows) intersected with row_act_ref (a [1, 128]
+    lane-of-row int mask) are matched; see jv_core_batched for when that is
+    sound (zero padding rows always; data rows only when the caller ignores
+    their assignment and no dummy zero column exists).
     """
     col = _lane_ids()
     valid = col < n
     virt = jnp.int32(n)  # virtual column index
 
     cost = cost_ref[:]
+    row_act = jnp.broadcast_to(row_act_ref[:], (_SUBS, _LANES))
     cost_row_ids = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+    cost_lane_ids = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 1)
 
     def cost_row(i0):
         return jnp.sum(
             jnp.where(cost_row_ids == i0, cost, 0.0), axis=0, keepdims=True
         )
 
-    u_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
+    # ---- row-reduction initialization (see jv_core_batched) --------------
+    # u[i] = min_j cost[i, j]; each row pre-assigned to its first argmin
+    # column where it is the lowest-index claimant. The augmenting loop then
+    # only runs for the (few) conflicted rows. State tiles stay replicated
+    # across sublanes, matching the update invariant of the loops below.
+    cmask = jnp.where(cost_lane_ids < n, cost, _INF)
+    rowmin = jnp.min(cmask, axis=1, keepdims=True)  # [R, 1]
+    amin = jnp.min(
+        jnp.where(cmask == rowmin, cost_lane_ids, n), axis=1, keepdims=True
+    )  # [R, 1]
+    # row_act in sublane-of-row orientation (masked-reduce transpose).
+    act_col = (
+        jnp.sum(
+            jnp.where(
+                cost_lane_ids == cost_row_ids, row_act_ref[:], 0
+            ),
+            axis=1,
+            keepdims=True,
+            dtype=jnp.int32,
+        )
+        > 0
+    )  # [R, 1]
+    claim = (amin == cost_lane_ids) & (cost_row_ids < n_rows) & act_col
+    winner = jnp.min(
+        jnp.where(claim, cost_row_ids, n), axis=0, keepdims=True
+    )  # [1, 128]
+    roc_ref[:] = jnp.where(
+        (winner < n) & (col < n), winner, -1
+    ).astype(jnp.int32)
+    u_row = jnp.sum(
+        jnp.where(
+            cost_row_ids == cost_lane_ids,
+            jnp.broadcast_to(rowmin, cost.shape),
+            0.0,
+        ),
+        axis=0,
+        keepdims=True,
+    )  # [1, 128] lane-of-row
+    u_ref[:] = jnp.broadcast_to(u_row, (_SUBS, _LANES)).astype(jnp.float32)
     v_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
-    roc_ref[:] = jnp.full((_SUBS, _LANES), -1, jnp.int32)
 
     def assign_row(r, _):
+        taken = (
+            jnp.sum(
+                ((roc_ref[:] == r) & valid & _row0()).astype(jnp.int32),
+                dtype=jnp.int32,
+            )
+            > 0
+        )
+        active = _select_scalar(row_act, jnp.int32(r)) > 0
+
+        @pl.when(~taken & active)
+        def _run():
+            _augment_free_row(r)
+
+        return 0
+
+    def _augment_free_row(r):
         roc_ref[:] = jnp.where(col == virt, r, roc_ref[:])
         minv_ref[:] = jnp.full((_SUBS, _LANES), _INF, jnp.float32)
         way_ref[:] = jnp.full((_SUBS, _LANES), virt, jnp.int32)
@@ -140,7 +202,7 @@ def _jv_kernel(
         jax.lax.while_loop(aug_cond, aug_body, (j0, jnp.int32(0)))
         return 0
 
-    jax.lax.fori_loop(0, n, assign_row, 0)
+    jax.lax.fori_loop(0, n_rows, assign_row, 0)
 
     # Invert: out[i] = j such that roc[j] == i (masked reductions; Mosaic has
     # no general gather/transpose at this tiny size).
@@ -155,12 +217,15 @@ def _jv_kernel(
         return 0
 
     out_ref[:] = jnp.full((1, _LANES), -1, jnp.int32)
-    jax.lax.fori_loop(0, n, invert_row, 0)
+    jax.lax.fori_loop(0, n_rows, invert_row, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def _solve_padded(cost_padded: jnp.ndarray, n: int, interpret: bool):
-    kernel = functools.partial(_jv_kernel, n)
+@functools.partial(jax.jit, static_argnames=("n", "n_rows", "interpret"))
+def _solve_padded(
+    cost_padded: jnp.ndarray, row_act: jnp.ndarray, n: int, n_rows: int,
+    interpret: bool,
+):
+    kernel = functools.partial(_jv_kernel, n, n_rows)
     scratch = [
         pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # u
         pltpu.VMEM((_SUBS, _LANES), jnp.float32),  # v
@@ -175,7 +240,7 @@ def _solve_padded(cost_padded: jnp.ndarray, n: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((1, _LANES), jnp.int32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(cost_padded)
+    )(cost_padded, row_act)
 
 
 # ---------------------------------------------------------------------------
@@ -200,22 +265,51 @@ def jv_core_batched(
     used_ref,
     tree_ref,
     j0_ref,
+    n_rows: int | None = None,
+    row_active=None,
+    invert: bool = True,
 ):
     """The sublane-batched JV solve as a reusable in-kernel routine.
 
     cost: [8, R_pad, 128] VALUE (8 problems, one per leading index).
-    Returns col_of_row [8, 128] int32 (-1 for rows beyond the matching).
+    Returns col_of_row [8, 128] int32 (-1 for rows beyond the matching) when
+    `invert`, else the row-of-column matching is left in roc_ref.
     Callers provide the eight (8, 128) scratch refs; all loops carry only
     scalars (Mosaic cannot legalize loop-carried vectors with replicated
     sublane layouts) and exit as soon as EVERY sublane's walk is done —
     typical augmenting paths finish in a few steps, not the n+1 worst case,
-    so the early exit cuts the sequential step count several-fold."""
+    so the early exit cuts the sequential step count several-fold.
+
+    n_rows: only rows [0, n_rows) are matched (static). Rows [n_rows, n) are
+      treated as absent: columns they would have taken under square padding
+      stay unmatched (roc -1). For the zero/constant padding rows the callers
+      use, the restriction of the optimum to the real rows is unchanged
+      (identical final assignment except on exactly-tied optima).
+    row_active: optional [8, 128] int32 lane-of-row mask; rows with 0 are
+      skipped dynamically per problem (same semantics as n_rows — intended
+      for constant max-cost rows, e.g. invalid detections, whose matching
+      the caller filters out anyway).
+    invert: compute and return col_of_row; pass False when the caller reads
+      roc_ref directly (saves the 2n-step inversion).
+
+    The solve starts from a row-reduction initialization (the cheap phase of
+    Jonker & Volgenant 1987): u[i] = min_j cost[i, j] with every row
+    pre-assigned to its first argmin column where unique — all computed as
+    vectorized tile ops. The Dijkstra-style augmenting search then runs ONLY
+    for rows left unassigned (conflicts), which on association/track-gating
+    matrices is a small minority, so the sequential while-loop work drops by
+    roughly the pre-assignment rate.
+    """
     r_pad = cost.shape[1]
+    if n_rows is None:
+        n_rows = n
+    n_rows = min(n_rows, r_pad)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 1)
     valid = lane < n
     virt = jnp.int32(n)
 
     row_in = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, r_pad, _LANES), 1)
+    lane_in = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, r_pad, _LANES), 2)
 
     def cost_row(i0):
         # Row i0[s] of problem s: [8, 128].
@@ -229,12 +323,70 @@ def jv_core_batched(
             dtype=vec.dtype,
         )
 
-    u_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
+    # ---- row-reduction initialization (vectorized) -----------------------
+    f32 = jnp.float32
+    cmask = jnp.where(lane_in < n, cost, _INF)
+    rowmin = jnp.min(cmask, axis=2, keepdims=True)  # [8, R, 1]
+    amin = jnp.min(
+        jnp.where(cmask == rowmin, lane_in, n), axis=2, keepdims=True
+    )  # [8, R, 1] first argmin column per row
+    act3 = row_in < n_rows
+    if row_active is not None:
+        # lane-of-row mask -> sublane-of-row (masked-reduce transpose).
+        ra3 = (
+            jnp.sum(
+                jnp.where(lane_in == row_in, row_active[:, None, :], 0),
+                axis=2,
+                keepdims=True,
+                dtype=jnp.int32,
+            )
+            > 0
+        )
+        act3 = act3 & ra3
+    claim = (amin == lane_in) & act3  # [8, R, 128]
+    winner = jnp.min(
+        jnp.where(claim, row_in, n), axis=1
+    )  # [8, 128] lowest row claiming each column
+    roc_ref[:] = jnp.where((winner < n) & valid, winner, -1).astype(jnp.int32)
+    # Duals: u = row minima (lane-of-row layout), v = 0 — feasible
+    # (cost - u - v >= 0) and tight on every pre-assigned pair.
+    u_ref[:] = jnp.sum(
+        jnp.where(
+            lane_in == row_in,
+            jnp.broadcast_to(rowmin, cmask.shape).astype(f32),
+            0.0,
+        ),
+        axis=1,
+        dtype=f32,
+    )
     v_ref[:] = jnp.zeros((_SUBS, _LANES), jnp.float32)
-    roc_ref[:] = jnp.full((_SUBS, _LANES), -1, jnp.int32)
 
     def assign_row(r, _):
-        roc_ref[:] = jnp.where(lane == virt, r, roc_ref[:])
+        roc = roc_ref[:]
+        # Row r still free in this problem? (pre-assignment or an earlier
+        # augmentation may already have matched it.)
+        taken = (
+            jnp.sum(((roc == r) & valid).astype(jnp.int32), axis=1,
+                    keepdims=True, dtype=jnp.int32)
+            > 0
+        )
+        need = ~taken
+        if row_active is not None:
+            need = need & (sel_lane(row_active, jnp.int32(r)) > 0)
+        any_need = jnp.sum(need.astype(jnp.int32), dtype=jnp.int32) > 0
+
+        @pl.when(any_need)
+        def _run():
+            _augment_free_row(r, need)
+
+        return 0
+
+    def _augment_free_row(r, need):
+        # Sublanes without need start inactive: their virtual column holds
+        # -1, so the search condition is false for them from step 0.
+        roc_ref[:] = jnp.where(
+            lane == virt, jnp.where(need, r, -1), roc_ref[:]
+        )
         minv_ref[:] = jnp.full((_SUBS, _LANES), _INF, jnp.float32)
         way_ref[:] = jnp.full((_SUBS, _LANES), virt, jnp.int32)
         # Masks held as int32 (Mosaic cannot truncate loop-carried i1).
@@ -306,9 +458,11 @@ def jv_core_batched(
 
         init_aug = jnp.sum((j0_ref[:, 0:1] != virt).astype(jnp.int32))
         jax.lax.while_loop(aug_cond, aug_body, (init_aug, jnp.int32(0)))
-        return 0
 
-    jax.lax.fori_loop(0, n, assign_row, 0)
+    jax.lax.fori_loop(0, n_rows, assign_row, 0)
+
+    if not invert:
+        return None
 
     roc = roc_ref[:]
 
@@ -320,7 +474,7 @@ def jv_core_batched(
         return jnp.where(lane == i, j_of_i, out)
 
     return jax.lax.fori_loop(
-        0, n, invert_row, jnp.full((_SUBS, _LANES), -1, jnp.int32)
+        0, n_rows, invert_row, jnp.full((_SUBS, _LANES), -1, jnp.int32)
     )
 
 
@@ -418,7 +572,15 @@ def _lsa_pallas_vmap(axis_size, in_batched, cost):
     return linear_sum_assignment_pallas_batched(cost), True
 
 
-def _lsa_pallas_single(cost: jnp.ndarray) -> jnp.ndarray:
+def _lsa_pallas_single(cost: jnp.ndarray, row_active=None) -> jnp.ndarray:
+    """Single-problem Pallas JV.
+
+    row_active: optional [R] bool/int mask — rows with 0 are skipped
+    (returned unassigned). ONLY sound when the caller ignores those rows'
+    assignments AND they can never displace an active row's optimum, e.g.
+    constant rows on a cost tier strictly above every active row's entries
+    (see jv_core_batched's n_rows note).
+    """
     r, c = cost.shape
     n = max(r, c)
     if n > _LANES - 8:
@@ -427,5 +589,10 @@ def _lsa_pallas_single(cost: jnp.ndarray) -> jnp.ndarray:
     rows_pad = max(8, -(-n // 8) * 8)
     padded = jnp.zeros((rows_pad, _LANES), jnp.float32)
     padded = padded.at[:r, :c].set(cost.astype(jnp.float32))
-    col_of_row = _solve_padded(padded, n, bool(interpret))[0][:r]
+    act = jnp.zeros((1, _LANES), jnp.int32)
+    if row_active is None:
+        act = act.at[0, :r].set(1)
+    else:
+        act = act.at[0, :r].set(row_active.astype(jnp.int32))
+    col_of_row = _solve_padded(padded, act, n, r, bool(interpret))[0][:r]
     return jnp.where(col_of_row < c, col_of_row, -1)

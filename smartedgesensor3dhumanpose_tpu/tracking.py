@@ -134,8 +134,15 @@ def step(
     # serialized dynamic-slices on TPU. The one-hot selections are exact
     # (at most one nonzero per row; heinsum is Precision.HIGHEST).
     cost = _association_cost(state, persons, t, cfg, prior_cfg)
+    # Invalid persons' rows are constant max_dist (clipped to _COST_CLIP,
+    # strictly above the dist_threshold gate and above any real cost), so
+    # their assignments are discarded by `matched` below whatever slot they
+    # land on — skip their augmenting searches in the Pallas solver
+    # (row_active contract in ops.hungarian). Requires P <= T slots (no
+    # dummy zero columns in the padded square problem).
+    row_hint = persons.valid if t_slots >= p else None
     assignment = hungarian.linear_sum_assignment(
-        jnp.minimum(cost, _COST_CLIP)
+        jnp.minimum(cost, _COST_CLIP), row_active=row_hint
     )  # [P] -> track slot or -1
     t_ids = jnp.arange(t_slots, dtype=jnp.int32)
     A = assignment[:, None] == t_ids[None, :]  # [P, T]; -1 matches nothing
