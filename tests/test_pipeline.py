@@ -133,6 +133,69 @@ def test_offline_cold_start_matches_online():
     assert np.where(online_valid, dcov, 0.0).max() < 1e-4
 
 
+def test_offline_cold_start_non_converged_boundary():
+    """Pin behavior on frames where the LM does NOT converge.
+
+    test_offline_cold_start_matches_online covers the converged regime,
+    where the hoisted cold-start LM (tracking.smooth_cold) is equivalent to
+    the online warm start. When lm_max_iterations truncates the
+    optimization, the two paths legitimately diverge; this documents the
+    boundary: frame 0 (no tracks yet -> warm start IS the measurements) is
+    identical, later frames diverge by a nonzero but bounded amount while
+    track structure (valid masks, ids) stays intact.
+    """
+    import dataclasses
+
+    n_frames, people, cams = 16, 3, 8
+    scene = synthetic.generate_scene(
+        synthetic.SceneConfig(
+            num_cameras=cams,
+            num_people=people,
+            num_frames=n_frames,
+            pixel_noise=1.0,
+            seed=9,
+        )
+    )
+    cfg = small_config(cams, people)
+    cfg = dataclasses.replace(
+        cfg,
+        prior=dataclasses.replace(
+            cfg.prior,
+            lm_max_iterations=1,
+            lm_absolute_error_tol=1e-12,
+            lm_relative_error_tol=1e-12,
+        ),
+    )
+    pipe = pipeline.Pipeline(scene["rig"], cfg)
+    frames = scene_frames(scene)
+    _, offline = pipe.run_offline(pipe.init_state(dtype=jnp.float64), frames)
+
+    st = pipe.init_state(dtype=jnp.float64)
+    online_xyz, online_valid = [], []
+    for t in range(n_frames):
+        st, out = pipe.step(st, jax.tree.map(lambda a: a[t], frames))
+        online_xyz.append(np.asarray(out.fused.xyz))
+        online_valid.append(np.asarray(out.fused.valid))
+    online_xyz = np.stack(online_xyz)
+    online_valid = np.stack(online_valid)
+
+    # Track structure survives the truncation identically on both paths.
+    np.testing.assert_array_equal(np.asarray(offline.fused.valid), online_valid)
+
+    dxyz = np.abs(np.asarray(offline.fused.xyz) - online_xyz).max(axis=(-1, -2))
+    dxyz = np.where(online_valid, dxyz, 0.0)
+    # Frame 0: no previous estimates exist, the warm start equals the
+    # measurements, so the paths are bit-identical even unconverged.
+    assert dxyz[0].max() < 1e-12
+    # Later frames: start-dependent outputs — nonzero divergence (the trade
+    # smooth_cold makes is real on non-converged frames) ...
+    if online_valid[1:].any():
+        assert dxyz[1:].max() > 1e-9
+        # ... but bounded: a single damped LM step from a warm start one
+        # frame of motion away stays within a few cm of the cold path.
+        assert dxyz[1:].max() < 0.05
+
+
 def test_stale_camera_masking():
     cams = 4
     stamps = jnp.asarray([1.0, 1.0, 0.9, 0.995])

@@ -229,3 +229,54 @@ def test_spine_bone_gated_on_belly(rng):
         cov[j] = np.eye(3) * 4e-4
     g_h = prior.build_graph_inputs(pack_persons([(xyz, score, cov)]), cfg_h)
     assert not bool(g_h.bone_active[0, skeleton.SPINE_BONE_IDX])
+
+
+def test_truncated_lm_is_start_dependent(rng):
+    """Pin the non-convergence boundary of the warm/cold-start trade.
+
+    The offline pipeline hoists the LM out of the frame scan with a cold
+    start (tracking.smooth_cold), relying on converged runs being
+    start-independent. On a frame where LM hits lm_max_iterations first,
+    that equivalence legitimately breaks (reference behavior is the online
+    warm start, setInitialState, pose_prior_mult_node.cpp:483-503). This
+    documents both sides of the boundary at the prior level.
+    """
+    people = [make_person(rng, noise=0.03) for _ in range(3)]
+    persons = pack_persons(people)
+
+    # A warm start a track would plausibly supply: the measurements plus a
+    # ~5 cm previous-frame offset on the active joints.
+    cfg_probe = PriorConfig()
+    g_in = prior.build_graph_inputs(persons, cfg_probe)
+    bump = jnp.asarray(
+        np.random.default_rng(7).normal(size=g_in.meas.shape) * 0.05
+    )
+    warm_x0 = jnp.where(g_in.active[..., None], g_in.meas + bump, 0.0)
+
+    # Converged runs are start-independent (the basis of smooth_cold).
+    cfg_full = PriorConfig(**TIGHT)
+    cold_full = prior.optimize(g_in, g_in.meas, cfg_full)
+    warm_full = prior.optimize(g_in, warm_x0, cfg_full)
+    assert int(cold_full.iters) < cfg_full.lm_max_iterations
+    d_full = np.abs(np.asarray(cold_full.x - warm_full.x))[
+        np.asarray(g_in.active)
+    ].max()
+    assert d_full < 1e-6
+
+    # Truncated runs hit the iteration ceiling without converging ...
+    cfg_trunc = PriorConfig(
+        lm_max_iterations=2,
+        lm_absolute_error_tol=1e-12,
+        lm_relative_error_tol=1e-12,
+    )
+    cold_t = prior.optimize(g_in, g_in.meas, cfg_trunc)
+    warm_t = prior.optimize(g_in, warm_x0, cfg_trunc)
+    assert int(cold_t.iters) == 2
+    assert int(warm_t.iters) == 2
+    # ... and their outputs are start-dependent: nonzero divergence, but
+    # finite, and bounded by the initial 5 cm start separation (LM steps
+    # contract toward the shared optimum from both sides).
+    d_t = np.abs(np.asarray(cold_t.x - warm_t.x))[np.asarray(g_in.active)]
+    assert np.all(np.isfinite(d_t))
+    assert d_t.max() > 1e-5
+    assert d_t.max() < 0.05
