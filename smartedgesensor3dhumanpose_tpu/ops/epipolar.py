@@ -203,16 +203,21 @@ def pairwise_association_costs_packed(
     """
     c, dd, j, _ = kp.shape
     iu, ju = np.triu_indices(c, k=1)  # [Np] static pair index tables
-    x = kp[..., 0]  # [C, D, J]
-    y = kp[..., 1]
-    conf_ok = kp[..., 2] > min_kp_score
+    # Joint-major layout [*, J, D]: the heavy [Np, J, D1, D2] product below
+    # then carries the detection axes minor (D1 sublanes x D2 lanes) instead
+    # of the 17-joint axis — measurably better VPU lane utilization than the
+    # J-minor [Np, D1, D2, J] form (~1.25x on the 64-cam config), and the
+    # joint reduction becomes a batch-axis sum XLA fuses just the same.
+    xT = jnp.swapaxes(kp[..., 0], -1, -2)  # [C, J, D]
+    yT = jnp.swapaxes(kp[..., 1], -1, -2)
+    conf_okT = jnp.swapaxes(kp[..., 2], -1, -2) > min_kp_score
 
-    x1, y1 = x[iu], y[iu]  # [Np, D, J]
-    x2, y2 = x[ju], y[ju]
+    x1, y1 = xT[iu], yT[iu]  # [Np, J, D1]
+    x2, y2 = xT[ju], yT[ju]  # [Np, J, D2]
     Fp = F[iu, ju]  # [Np, 3, 3]
 
     # Epipolar line of (c1, d1, j) in camera c2: l1 = Fp @ [x1, y1, 1];
-    # componentwise, shapes [Np, D1, J].
+    # componentwise, shapes [Np, J, D1].
     def line(f0, f1, f2, xs, ys):
         return (
             f0[:, None, None] * xs + f1[:, None, None] * ys
@@ -222,38 +227,41 @@ def pairwise_association_costs_packed(
     l10 = line(Fp[:, 0, 0], Fp[:, 0, 1], Fp[:, 0, 2], x1, y1)
     l11 = line(Fp[:, 1, 0], Fp[:, 1, 1], Fp[:, 1, 2], x1, y1)
     l12 = line(Fp[:, 2, 0], Fp[:, 2, 1], Fp[:, 2, 2], x1, y1)
-    den1 = l10**2 + l11**2  # [Np, D1, J]
+    den1 = l10**2 + l11**2  # [Np, J, D1]
     # Guarded rsqrt: one op instead of sqrt+divide (this reduction is the
     # VPU-bound part of the frame); degenerate zero-norm lines keep the
-    # raw |numerator| like the division path did.
+    # raw |numerator| like the division path did. The 1/||l_xy|| factor is
+    # folded into the line coefficients on the SMALL [Np, J, D] tensors, so
+    # the [Np, J, D1, D2] product needs no per-element normalization
+    # multiply (|a| * s == |a * s| for s >= 0 up to one rounding).
     inv1 = jnp.where(den1 > 0, jax.lax.rsqrt(den1), 1.0)
+    l10, l11, l12 = l10 * inv1, l11 * inv1, l12 * inv1
 
     # Line of (c2, d2, j) back in camera c1: l2 = Fp^T @ [x2, y2, 1].
     l20 = line(Fp[:, 0, 0], Fp[:, 1, 0], Fp[:, 2, 0], x2, y2)
     l21 = line(Fp[:, 0, 1], Fp[:, 1, 1], Fp[:, 2, 1], x2, y2)
     l22 = line(Fp[:, 0, 2], Fp[:, 1, 2], Fp[:, 2, 2], x2, y2)
-    den2 = l20**2 + l21**2  # [Np, D2, J]
+    den2 = l20**2 + l21**2  # [Np, J, D2]
     inv2 = jnp.where(den2 > 0, jax.lax.rsqrt(den2), 1.0)
+    l20, l21, l22 = l20 * inv2, l21 * inv2, l22 * inv2
 
-    # num1[p,d1,d2,j] = p2 . l1, num2 = p1 . l2 (reference :357-360).
+    # num1[p,j,d1,d2] = p2 . (l1 / ||l1_xy||), num2 = p1 . (l2 / ||l2_xy||)
+    # (reference :357-360).
     num1 = (
-        x2[:, None, :, :] * l10[:, :, None, :]
-        + y2[:, None, :, :] * l11[:, :, None, :]
-        + l12[:, :, None, :]
+        x2[:, :, None, :] * l10[..., None]
+        + y2[:, :, None, :] * l11[..., None]
+        + l12[..., None]
     )
     num2 = (
-        x1[:, :, None, :] * l20[:, None, :, :]
-        + y1[:, :, None, :] * l21[:, None, :, :]
-        + l22[:, None, :, :]
+        x1[..., None] * l20[:, :, None, :]
+        + y1[..., None] * l21[:, :, None, :]
+        + l22[:, :, None, :]
     )
-    d = (
-        jnp.abs(num1) * inv1[:, :, None, :]
-        + jnp.abs(num2) * inv2[:, None, :, :]
-    )  # [Np, D1, D2, J]
+    d = jnp.abs(num1) + jnp.abs(num2)  # [Np, J, D1, D2]
 
-    both_ok = conf_ok[iu][:, :, None, :] & conf_ok[ju][:, None, :, :]
-    n_joints = jnp.sum(both_ok, axis=-1)  # [Np, D1, D2]
-    dist_sum = jnp.sum(jnp.where(both_ok, d, 0.0), axis=-1)
+    both_ok = conf_okT[iu][..., None] & conf_okT[ju][:, :, None, :]
+    n_joints = jnp.sum(both_ok, axis=1)  # [Np, D1, D2]
+    dist_sum = jnp.sum(jnp.where(both_ok, d, 0.0), axis=1)
     cost_p = dist_sum / jnp.where(n_joints > 0, n_joints, 1)
     return cost_p, n_joints > 0, iu, ju
 
