@@ -57,7 +57,9 @@ def main():
         fb_delay=jnp.asarray(data["fb_delay"]),
     )
 
-    pipe = pl.Pipeline(scene["rig"], config)
+    # fusion_batch=128 measured fastest for the 16-cam demo (256-frame
+    # sequence in two chunks; the full-sequence chunk loses to HBM pressure).
+    pipe = pl.Pipeline(scene["rig"], config, fusion_batch=128)
     state = pipe.init_state()
 
     # ---- offline throughput (compile + 1 warm run, then timed runs).
@@ -70,9 +72,15 @@ def main():
     jax.block_until_ready(outs)
     n_rep = 5
     t0 = time.perf_counter()
+    all_outs = []
     for _ in range(n_rep):
         _, outs = pipe.run_offline(state, frames)
-    jax.block_until_ready(outs)
+        all_outs.append(outs)
+    # Block on EVERY rep's outputs, not just the last: on a multi-stream /
+    # multi-device runtime an earlier independent rep could still be in
+    # flight when the last one completes (costs nothing on single device).
+    jax.block_until_ready(all_outs)
+    del all_outs
     dt = (time.perf_counter() - t0) / n_rep
     fps = num_frames / dt
 
@@ -124,14 +132,20 @@ def main():
             cam_stamp=jnp.asarray(s_data["cam_stamp"], jnp.float32),
             fb_delay=jnp.asarray(s_data["fb_delay"]),
         )
-        s_pipe = pl.Pipeline(s_scene["rig"], s_config, fusion_batch=8)
+        # fusion_batch=4 measured fastest for the 64-cam config (the larger
+        # chunks' HBM working set outweighs the launch amortization there).
+        s_pipe = pl.Pipeline(s_scene["rig"], s_config, fusion_batch=4)
         s_state = s_pipe.init_state()
         _, s_out = s_pipe.run_offline(s_state, sf)
         jax.block_until_ready(s_out)
         t0 = time.perf_counter()
+        # Per-rep blocking here (unlike the 16-cam headline): two in-flight
+        # 64-cam x 25-person x 128-frame executions would keep both reps'
+        # workspaces live concurrently and risk device OOM surfacing as a
+        # spurious scaled_error. Dispatch overhead is <1% at this runtime.
         for _ in range(2):
             _, s_out = s_pipe.run_offline(s_state, sf)
-        jax.block_until_ready(s_out)
+            jax.block_until_ready(s_out)
         scaled_fps = round(s_frames / ((time.perf_counter() - t0) / 2), 2)
     except Exception as e:  # context metric only; never fail the bench —
         # but record the failure so a scaled regression is visible in the
@@ -160,6 +174,10 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 4),
+        # Methodology marker: "pipelined" = reps dispatched asynchronously,
+        # blocked once at the end (sustained-throughput timing, round 3+);
+        # BENCH_r01/r02 used per-rep blocking and are not comparable.
+        "timing": "pipelined",
         "p50_step_latency_ms": round(p50_ms, 3),
         "p50_device_ms": round(device_step_ms, 3),
         "scaled_64cam_25people_fps": scaled_fps,

@@ -355,7 +355,27 @@ def _merge_tracks(
 ):
     """Remove tracks overlapping an earlier one (mean common-joint distance
     below threshold, calc_3d_dist :103-119); published persons of the removed
-    track inherit the keeper's id (:892-898)."""
+    track inherit the keeper's id (:892-898).
+
+    Track positions are static during the sweep (unlike the fusion merge,
+    nothing is averaged — only `alive` flips), so the reference's
+    lexicographic pair loop (:869-903) collapses to the pure recurrence
+
+        surv[j] = alive[j] and no i < j with close[i, j] and surv[i],
+        keeper[j] = min{ i < j : close[i, j] and surv[i] }   (when not surv)
+
+    — when the pair loop reaches (i, j), victim columns < j and keeper rows
+    < i are settled, and a keeper is always a final survivor (a track dies
+    only at its own column step, which precedes every step where it could
+    act as keeper, and dead rows are excluded by the alive[i] test). The
+    recurrence is solved by a monotone fixpoint instead of a T-1-step
+    sequential sweep: each round settles at least the earliest unsettled
+    slot (all its close predecessors are already settled), so the loop runs
+    `longest close-chain + 1` rounds — one round for the overwhelmingly
+    common no-close-pair frame, two for simple pair merges — of a few [T, T]
+    vector ops each, replacing the former cond-guarded 63-step device loop
+    that dominated the scaled tracker scan whenever any frame merged.
+    """
     t_slots = alive.shape[0]
     if t_slots < 2:
         return alive, fused, fused_pred
@@ -363,76 +383,57 @@ def _merge_tracks(
     world = est * height_prev[:, None, None] + root_prev[:, None, :]
     idx = jnp.arange(t_slots)
 
-    # Track positions are static during the sweep (unlike the fusion merge,
-    # nothing is averaged — only `alive` flips), so the whole [T, T]
-    # closeness matrix is computed ONCE; the sequential victim-major steps
-    # are then a handful of boolean ops each.
     ok = est_exists[:, None] & est_exists[None, :]  # [T, T, K]
     d = jnp.linalg.norm(world[:, None] - world[None], axis=-1)
     n = jnp.sum(ok, axis=-1)
     mean_d = jnp.sum(jnp.where(ok, d, 0.0), axis=-1) / jnp.maximum(n, 1)
-    close_mat = (
+    close = (
         (idx[:, None] < idx[None, :])  # keeper i strictly before victim j
         & has_dets
         & (n > 0)
         & (mean_d < cfg.merge_dist_thresh)
+        & alive[:, None]
+        & alive[None, :]
     )  # [T(keeper), T(victim)]
 
-    # Victim-major sweep, P-1 sequential steps instead of P(P-1)/2 pairs —
-    # exactly equivalent to the reference's lexicographic pair loop: a
-    # keeper that kills j must itself have survived rows < i, which are
-    # settled at earlier j-steps. See fusion.merge_close_persons for the
-    # ordering argument.
-    def step(carry, j):
-        alive, fid, pid = carry
-        close = close_mat[:, j] & alive & alive[j]
-        merge = jnp.any(close)
-        keeper = jnp.argmax(close)
-        alive = alive.at[j].set(jnp.where(merge, False, alive[j]))
-        removed_id = track_id[j]
-        keeper_id = track_id[keeper]
-        fid = jnp.where(merge & (fid == removed_id), keeper_id, fid)
-        pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
-        return (alive, fid, pid), None
+    def unsettled(state):
+        live, dead = state
+        return jnp.any(alive & ~live & ~dead)
 
-    carry = (alive, fused.person_id, fused_pred.person_id)
-    if t_slots <= 16:
-        for j in range(1, t_slots):
-            carry, _ = step(carry, j)
-    else:
-        def step_xs(carry, xs):
-            # close_mat column delivered via xs to avoid a dynamic gather.
-            j, col = xs
-            alive, fid, pid = carry
-            close = col & alive & alive[j]
-            merge = jnp.any(close)
-            keeper = jnp.argmax(close)
-            alive = alive.at[j].set(jnp.where(merge, False, alive[j]))
-            removed_id = track_id[j]
-            keeper_id = track_id[keeper]
-            fid = jnp.where(merge & (fid == removed_id), keeper_id, fid)
-            pid = jnp.where(merge & (pid == removed_id), keeper_id, pid)
-            return (alive, fid, pid), None
+    def settle(state):
+        live, dead = state
+        # No close predecessor can still kill j -> j definitely survives.
+        possible_killer = close & ~dead[:, None]
+        live = live | (alive & ~jnp.any(possible_killer, axis=0))
+        # A definitely-surviving close predecessor -> j definitely dies.
+        dead = dead | jnp.any(close & live[:, None], axis=0)
+        return live, dead
 
-        def sweep(carry):
-            js = jnp.arange(1, t_slots)
-            carry, _ = jax.lax.scan(
-                step_xs, carry, (js, jnp.swapaxes(close_mat, 0, 1)[1:])
-            )
-            return carry
+    no = jnp.zeros_like(alive)
+    live, dead = jax.lax.while_loop(unsettled, settle, (no, no))
 
-        # Most frames have NO close track pair at all — skip the whole
-        # T-1-step sweep then. The scan inside the branch lowers to a
-        # device loop, so XLA cannot speculate the branch away (unlike a
-        # loop-free cond, which would become an always-executed select);
-        # tracking.step runs un-vmapped in both the online path and the
-        # offline tracker scan, so the cond stays a true branch.
-        carry = jax.lax.cond(
-            jnp.any(close_mat), sweep, lambda c: c, carry
+    # Keeper of each victim: FIRST surviving close predecessor (argmax picks
+    # the lowest index — the pair loop's lexicographic order). Keeper ids are
+    # survivor ids and victim ids are unique, so the per-victim id
+    # reassignments (:892-898) are independent and apply in one batch; all
+    # selections are one-hot contractions (no serialized gathers inside the
+    # per-frame scan).
+    kill = close & live[:, None]  # [T(keeper), T(victim)]
+    keeper = jnp.argmax(kill, axis=0)  # [T] first True (0 where none; dead
+    keeper_1h = idx[:, None] == keeper[None, :]  # gates below handle it)
+    keeper_id = jnp.sum(
+        jnp.where(keeper_1h, track_id[:, None], 0), axis=0, dtype=jnp.int32
+    )  # [T(victim)]
+
+    def reassign(pid):
+        match = (pid[:, None] == track_id[None, :]) & dead[None, :]  # [P, T]
+        new_id = jnp.sum(
+            jnp.where(match, keeper_id[None, :], 0), axis=1, dtype=jnp.int32
         )
-    alive, fid, pid = carry
+        return jnp.where(jnp.any(match, axis=1), new_id, pid)
+
     return (
-        alive,
-        fused._replace(person_id=fid),
-        fused_pred._replace(person_id=pid),
+        alive & ~dead,
+        fused._replace(person_id=reassign(fused.person_id)),
+        fused_pred._replace(person_id=reassign(fused_pred.person_id)),
     )
