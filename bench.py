@@ -84,6 +84,45 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     fps = num_frames / dt
 
+    # ---- accuracy vs the scene's ground truth: mean per-joint position
+    # error of the published (tracked + LM-smoothed) skeletons, greedy-
+    # matched to GT people per frame. Evaluated after the tracker's publish
+    # gate has warmed (> min_num_obs frames). Host-side NumPy on outputs the
+    # throughput runs already produced.
+    from smartedgesensor3dhumanpose_tpu import skeleton
+
+    to_fusion = np.asarray(skeleton.SIMPLE_MODEL.to_fusion)
+    gt = scene["gt_xyz"]  # [T, G, 17, 3]
+    f_xyz = np.asarray(outs.fused.xyz)[..., to_fusion, :]
+    f_score = np.asarray(outs.fused.score)[..., to_fusion]
+    f_valid = np.asarray(outs.fused.valid)
+    joint_errs = []
+    for t in range(num_frames // 4, num_frames):
+        used = set()
+        for g in range(gt.shape[1]):
+            best = np.inf
+            best_e = None
+            best_p = None
+            for p in np.nonzero(f_valid[t])[0]:
+                if p in used:
+                    continue
+                ok = f_score[t, p] > 0
+                if ok.sum() < 5:
+                    continue
+                e = np.linalg.norm(
+                    f_xyz[t, p][ok] - gt[t, g][ok], axis=-1
+                )
+                if e.mean() < best:
+                    best, best_e, best_p = e.mean(), e, p
+            if best_e is not None and best < 0.5:
+                used.add(best_p)
+                joint_errs.append(best_e)
+    mpjpe_mm = (
+        round(float(np.concatenate(joint_errs).mean() * 1e3), 3)
+        if joint_errs
+        else None
+    )
+
     # ---- online p50 step latency (wall clock, includes host dispatch; in
     # this sandbox the remote-dispatch tunnel dominates it)
     frame0 = jax.tree.map(lambda a: a[0], frames)
@@ -178,6 +217,7 @@ def main():
         # blocked once at the end (sustained-throughput timing, round 3+);
         # BENCH_r01/r02 used per-rep blocking and are not comparable.
         "timing": "pipelined",
+        "mpjpe_mm": mpjpe_mm,
         "p50_step_latency_ms": round(p50_ms, 3),
         "p50_device_ms": round(device_step_ms, 3),
         "scaled_64cam_25people_fps": scaled_fps,
