@@ -234,22 +234,43 @@ class Pipeline:
             batch_size=self._fusion_batch,
         )
 
-        def track_body(carry, xs):
-            person_t, pivot_t, fb_t, pre_t = xs
-            carry, out = tracking.step(
-                carry,
-                person_t,
-                pivot_t.astype(person_t.xyz.dtype),
-                fb_t,
-                config.prior,
-                config.tracker,
-                precomputed=pre_t,
-            )
-            return carry, out
-
-        state, track_outs = jax.lax.scan(
-            track_body, state, (persons, pivots, frames.fb_delay, pre)
+        # The sequential tracker: on TPU the whole scan runs as ONE Pallas
+        # launch with the TrackerState resident in VMEM across frames
+        # (ops.tracker_pallas — the launch-chain cost of ~50 small kernels
+        # per lax.scan step was the dominant sequential cost once the LM
+        # was hoisted out). Integer decisions are pinned exactly equal to
+        # the XLA scan by tests/test_tracker_pallas.py.
+        p_slots = persons.xyz.shape[1]
+        t_slots = config.tracker.max_tracks
+        use_tracker_kernel = (
+            jax.default_backend() == "tpu"
+            and p_slots <= t_slots <= 128
+            and persons.xyz.shape[2] == 21
         )
+        if use_tracker_kernel:
+            from smartedgesensor3dhumanpose_tpu.ops import tracker_pallas
+
+            state, track_outs = tracker_pallas.tracker_scan(
+                state, persons, pivots, frames.fb_delay, pre,
+                config.prior, config.tracker,
+            )
+        else:
+            def track_body(carry, xs):
+                person_t, pivot_t, fb_t, pre_t = xs
+                carry, out = tracking.step(
+                    carry,
+                    person_t,
+                    pivot_t.astype(person_t.xyz.dtype),
+                    fb_t,
+                    config.prior,
+                    config.tracker,
+                    precomputed=pre_t,
+                )
+                return carry, out
+
+            state, track_outs = jax.lax.scan(
+                track_body, state, (persons, pivots, frames.fb_delay, pre)
+            )
 
         def reproj_one(pred_t, delta_t, ts_t):
             return reprojection.reproject(
