@@ -83,6 +83,7 @@ def _assoc_kernel(
     h_cap: int,
     d_real: int,
     dp: int,
+    n_live: int,
     gate: float,
     max_cost: float,
     # refs
@@ -122,10 +123,16 @@ def _assoc_kernel(
     cam_sel = (
         jax.lax.broadcasted_iota(jnp.int32, (cams, dp), 0) == c
     )  # [C, Dp] one-hot row of the current camera
+    # Only the first n_live sublanes carry real frames (the batch is padded
+    # up to a multiple of 8); padded sublanes skip the whole per-frame
+    # pipeline — their ds_out rows stay -1 and their counts stay 0, which is
+    # exactly what the host-side [:b] slice expects. The JV still solves all
+    # 8 sublanes (its state tiles are [8, 128]); padded sublanes get the
+    # trivially-solvable matrix with an all-zero row-activity mask.
     jv_inputs = []
     frame_ctx = []
     need_any = jnp.int32(0)
-    for b in range(_SUBS):
+    for b in range(n_live):
         ds = ds_out_ref[b]  # [C, 128] det_slot, -1 where unobserved
         ct = ctab_ref[b, 0]  # [Dp, Xp] cost, -1 sentinel where unusable
 
@@ -216,6 +223,18 @@ def _assoc_kernel(
         jv_inputs.append(jv_cost)
         frame_ctx.append((ds, mask, dok, need_b))
 
+    if n_live < _SUBS:
+        # Padded sublanes: the trivially-solvable diagonal matrix (pure
+        # iota — Mosaic folds it at compile time).
+        pad_cost = jnp.where(d_sub == h_lane_d, 0.0, 1.0)
+        pad_cost = jnp.where(hyp_live_lane, pad_cost, 0.0)
+        pad_cost = jnp.where(h_lane_d < n_jv, pad_cost, 0.0)
+        if r_pad > dp:
+            pad_cost = jnp.concatenate(
+                [pad_cost, jnp.zeros((r_pad - dp, _LANES), f32)], axis=0
+            )
+        jv_inputs.extend([pad_cost] * (_SUBS - n_live))
+
     # ---- one sublane-batched JV for the whole frame group ---------------
     roc_ref = jv_scratch[2]
 
@@ -251,7 +270,7 @@ def _assoc_kernel(
     roc_all = roc_ref[:]  # [8, 128]: row (detection) matched to each column
 
     # ---- interpret assignments + update state ---------------------------
-    for b in range(_SUBS):
+    for b in range(n_live):
         ds, mask, dok, need_b = frame_ctx[b]
         # Solver assignment per hypothesis lane: the matched detection row
         # (columns ARE hypotheses in the transposed problem), -1 where the
@@ -340,7 +359,7 @@ def _assoc_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (_SUBS, _LANES), 1)
         out = jnp.zeros((_SUBS, _LANES), jnp.int32)
-        for b in range(_SUBS):
+        for b in range(n_live):
             out = jnp.where((row == b) & (lane == 0), nh_smem[b], out)
             out = jnp.where((row == b) & (lane == 1), nd_smem[b], out)
         counts_out_ref[:] = out
@@ -349,18 +368,21 @@ def _assoc_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cams", "h_cap", "d_real", "dp", "gate", "max_cost", "interpret"
+        "cams", "h_cap", "d_real", "dp", "n_live", "gate", "max_cost",
+        "interpret",
     ),
 )
 def _assoc_call(
-    ctab, conf, dok, *, cams, h_cap, d_real, dp, gate, max_cost, interpret
+    ctab, conf, dok, *, cams, h_cap, d_real, dp, n_live, gate, max_cost,
+    interpret
 ):
     """ctab [Bp, C, Dp, Xp] f32, conf [Bp, Xp] f32, dok [Bp, C, Dp] i32."""
     bp = ctab.shape[0]
     g = bp // _SUBS
     xp = cams * dp
     kernel = functools.partial(
-        _assoc_kernel, cams, h_cap, d_real, dp, float(gate), float(max_cost)
+        _assoc_kernel, cams, h_cap, d_real, dp, n_live, float(gate),
+        float(max_cost)
     )
     scratch = [
         pltpu.SMEM((_SUBS,), jnp.int32),
@@ -472,6 +494,11 @@ def associate_scan_batched(
     ds_out, counts = _assoc_call(
         ct, conf, dok,
         cams=c, h_cap=h_cap, d_real=d, dp=dp,
+        # Single-group batches skip the padded sublanes' per-frame work
+        # entirely (static loop bound); multi-group batches keep the full
+        # unroll — only their (possibly partial) last group would benefit,
+        # and a dynamic bound would force the guard into every group.
+        n_live=(b if bp <= _SUBS else _SUBS),
         gate=float(gate), max_cost=float(max_cost),
         interpret=bool(interpret),
     )
