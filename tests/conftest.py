@@ -26,8 +26,27 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_between_modules():
+    """Drop compiled executables after each test module.
+
+    Every live XLA executable holds JIT code mappings; across the full suite
+    (thousands of distinct f64 CPU programs) the process otherwise crosses
+    vm.max_map_count (65530) and the NEXT compilation-cache read segfaults
+    inside deserialize_executable when mmap fails — deterministically at
+    ~85 tests in, while every file passes in isolation. Clearing between
+    modules bounds the live-mapping count; the persistent disk cache (above)
+    keeps the recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture
