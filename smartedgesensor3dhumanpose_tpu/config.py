@@ -55,12 +55,13 @@ class FusionConfig:
     # Cost assigned to infeasible pairings (MAX_COSTS, :43).
     max_cost: float = 1.0e6
     # Assignment solver strategy inside the association scan:
-    #  "cond_while": run a while-loop JV behind a lax.cond (only executes on
-    #    ambiguous frames; best for the online per-frame path),
-    #  "pallas": always run the single-kernel Pallas JV (best when the
-    #    fusion stage is batched over frames and the cond would be
-    #    speculated anyway),
-    #  "unrolled": always run the unrolled XLA JV.
+    #  "cond_while" (default): on TPU this resolves to "pallas_scan" (the
+    #    whole camera fold in one Pallas launch — fastest online AND
+    #    offline); elsewhere it runs a while-loop JV behind a lax.cond so
+    #    the solver only executes on ambiguous frames,
+    #  "pallas_scan": force the fused Pallas camera fold,
+    #  "pallas": XLA camera scan + single-kernel Pallas JV per step,
+    #  "unrolled": XLA camera scan + unrolled XLA JV.
     assignment_impl: str = "cond_while"
 
     @property

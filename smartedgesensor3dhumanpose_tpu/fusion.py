@@ -361,7 +361,21 @@ def associate(
     )  # [C2, C1*D1, D2]: the scan over the current camera slices axis 0.
     conf_obs = (det_score > 0.5).astype(dtype).reshape(c * d)  # (:352)
 
-    if config.assignment_impl == "pallas_scan":
+    impl = config.assignment_impl
+    if (
+        impl == "cond_while"
+        and jax.default_backend() == "tpu"
+        and h <= 128
+        and d <= 128
+    ):
+        # On TPU the default ("cond_while") resolves to the fused Pallas
+        # fold: one launch replaces the C-step scan's serialized rounds of
+        # small kernels. Measured on the 16-cam online step (v5e): 0.42 ms
+        # vs 1.97 ms for the cond-guarded XLA scan — the cond only pays off
+        # on backends without the fused kernel (CPU tests, oracles).
+        impl = "pallas_scan"
+
+    if impl == "pallas_scan":
         # The whole C-step fold in ONE Pallas launch (assembly matmul + JV
         # + state update per camera, 8 frames sublane-packed into the JV):
         # see ops.association_pallas. Bit-equal to the scan below except on

@@ -183,8 +183,6 @@ class Pipeline:
         axis — one kernel launch sequence for all frames), and only the
         genuinely sequential tracker runs as a scan. Identical math to the
         per-frame step; drastically fewer sequential kernel launches."""
-        import dataclasses
-
         from smartedgesensor3dhumanpose_tpu import (  # local to avoid cycle
             fusion,
             reprojection,
@@ -193,21 +191,11 @@ class Pipeline:
 
         config = self.config
         rig = self.rig
-        # Under the frame-batched vmap the association's lax.cond is
-        # speculated into a select (both branches always run), so the
-        # branch-protected while-loop solver buys nothing — run the FUSED
-        # association kernel instead (the whole camera fold + JV solves in
-        # one Pallas launch per frame group, ops.association_pallas; equal
-        # outputs except on exactly-tied solver optima). The online step
-        # keeps "cond_while".
+        # On TPU fusion.associate resolves the default assignment_impl to
+        # the FUSED association kernel (the whole camera fold + JV solves in
+        # one Pallas launch per frame group, ops.association_pallas) for
+        # both this batched offline path and the online per-frame step.
         fusion_cfg = config.fusion
-        if (
-            fusion_cfg.assignment_impl == "cond_while"
-            and jax.default_backend() == "tpu"
-        ):
-            fusion_cfg = dataclasses.replace(
-                fusion_cfg, assignment_impl="pallas_scan"
-            )
 
         def fuse_one(frame):
             frame, pivot = mask_stale_cameras(frame, fusion_cfg.max_sync_diff)

@@ -22,7 +22,6 @@ CLI:
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Dict
 
@@ -60,14 +59,7 @@ def profile_stages(
     batch = pipe._fusion_batch
     num_frames = int(frames.cam_stamp.shape[0])
 
-    fusion_cfg = config.fusion
-    if (
-        fusion_cfg.assignment_impl == "cond_while"
-        and jax.default_backend() == "tpu"
-    ):
-        fusion_cfg = dataclasses.replace(
-            fusion_cfg, assignment_impl="pallas_scan"
-        )
+    fusion_cfg = config.fusion  # fusion.associate resolves the TPU impl
 
     def fuse_one(frame):
         frame, pivot = pl.mask_stale_cameras(frame, fusion_cfg.max_sync_diff)
