@@ -95,41 +95,21 @@ def main():
 
     # ---- accuracy vs the scene's ground truth: mean per-joint position
     # error of the published (tracked + LM-smoothed) skeletons, greedy-
-    # matched to GT people per frame. Evaluated after the tracker's publish
-    # gate has warmed (> min_num_obs frames). Host-side NumPy on outputs the
-    # throughput runs already produced.
-    from smartedgesensor3dhumanpose_tpu import skeleton
+    # matched to GT people per frame (metrics.py). Evaluated after the
+    # tracker's publish gate has warmed (> min_num_obs frames). Host-side
+    # NumPy on outputs the throughput runs already produced.
+    from smartedgesensor3dhumanpose_tpu import metrics, skeleton
 
-    to_fusion = np.asarray(skeleton.SIMPLE_MODEL.to_fusion)
-    gt = scene["gt_xyz"]  # [T, G, 17, 3]
-    f_xyz = np.asarray(outs.fused.xyz)[..., to_fusion, :]
-    f_score = np.asarray(outs.fused.score)[..., to_fusion]
-    f_valid = np.asarray(outs.fused.valid)
-    joint_errs = []
-    for t in range(num_frames // 4, num_frames):
-        used = set()
-        for g in range(gt.shape[1]):
-            best = np.inf
-            best_e = None
-            best_p = None
-            for p in np.nonzero(f_valid[t])[0]:
-                if p in used:
-                    continue
-                ok = f_score[t, p] > 0
-                if ok.sum() < 5:
-                    continue
-                e = np.linalg.norm(
-                    f_xyz[t, p][ok] - gt[t, g][ok], axis=-1
-                )
-                if e.mean() < best:
-                    best, best_e, best_p = e.mean(), e, p
-            if best_e is not None and best < 0.5:
-                used.add(best_p)
-                joint_errs.append(best_e)
+    joint_errs = metrics.sequence_joint_errors(
+        outs.fused.xyz,
+        outs.fused.score,
+        outs.fused.valid,
+        scene["gt_xyz"],  # [T, G, 17, 3]
+        to_fusion=np.asarray(skeleton.SIMPLE_MODEL.to_fusion),
+        start=num_frames // 4,
+    )
     mpjpe_mm = (
-        round(float(np.concatenate(joint_errs).mean() * 1e3), 3)
-        if joint_errs
-        else None
+        round(metrics.mpjpe(joint_errs) * 1e3, 3) if joint_errs.size else None
     )
 
     # ---- online p50 step latency (wall clock, includes host dispatch; in

@@ -130,6 +130,40 @@ def build_rig(
     )
 
 
+def save_rig(rig: CameraRig, path: str) -> None:
+    """Persist a calibration to JSON (P, K, image_size; F is derived).
+
+    The reference distributes calibration as launch-file static transforms +
+    CameraInfo topics (cameras_extrinsics.launch:2-18,
+    skeleton_3d_triang_mult_node.cpp:199-228); here the persisted rig file
+    is the deployment equivalent — `load_rig` rebuilds the rig (including
+    the fundamental-matrix precompute) from it.
+    """
+    import json
+
+    data = {
+        "P": np.asarray(rig.P, np.float64).tolist(),
+        "K": np.asarray(rig.K, np.float64).tolist(),
+        "image_size": np.asarray(rig.image_size, np.float64).tolist(),
+    }
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
+def load_rig(path: str, dtype=jnp.float32) -> CameraRig:
+    """Rebuild a CameraRig saved by `save_rig` (F recomputed in float64)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return build_rig(
+        np.asarray(data["P"], np.float64),
+        np.asarray(data["K"], np.float64),
+        image_size=np.asarray(data["image_size"], np.float64),
+        dtype=dtype,
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-frame keypoint normalization (reference :312-333) — jittable
 # --------------------------------------------------------------------------

@@ -101,6 +101,9 @@ def main(argv=None):
     parser.add_argument("--vis-cov", action="store_true",
                         help="track + report 3D sigma statistics (the "
                              "reference's vis_cov shutdown dump)")
+    parser.add_argument("--eval", action="store_true",
+                        help="report MPJPE / PCK vs the synthetic scene's "
+                             "ground truth (offline synthetic replay only)")
     args = parser.parse_args(argv)
 
     from smartedgesensor3dhumanpose_tpu import checkpoint, timing
@@ -282,6 +285,31 @@ def main(argv=None):
     ids = np.asarray(last.fused.person_id)[valid]
     print(f"last frame: {valid.sum()} fused persons published, ids={sorted(ids.tolist())}")
 
+    # Ground truth exists only for the synthetic scene (a JSONL replay may
+    # come from anywhere; the reference evaluates GT out-of-repo too).
+    have_gt = not args.jsonl
+    if args.eval:
+        if outs is None or not have_gt:
+            print("--eval requires the offline synthetic replay (no GT here)")
+        else:
+            from smartedgesensor3dhumanpose_tpu import metrics, skeleton
+
+            errs = metrics.sequence_joint_errors(
+                outs.fused.xyz,
+                outs.fused.score,
+                outs.fused.valid,
+                scene["gt_xyz"],
+                to_fusion=np.asarray(skeleton.SIMPLE_MODEL.to_fusion),
+                start=n // 4,  # skip the tracker publish-gate warm-up
+            )
+            print(
+                f"eval vs GT (frames {n // 4}-{n - 1}): "
+                f"MPJPE {metrics.mpjpe(errs) * 1e3:.1f} mm, "
+                f"PCK@0.15m {metrics.pck(errs, 0.15) * 100:.1f}%, "
+                f"PCK@0.05m {metrics.pck(errs, 0.05) * 100:.1f}% "
+                f"({errs.size} matched joints)"
+            )
+
     if args.viz:
         from smartedgesensor3dhumanpose_tpu import viz
 
@@ -292,6 +320,13 @@ def main(argv=None):
             input_frame=(
                 jax.tree.map(lambda a: a[-1], frames)
                 if outs is not None
+                else None
+            ),
+            # GT layer only when the rendered output IS the last synthetic
+            # frame (online modes publish whichever frame survived the
+            # latest-wins slot).
+            gt_xyz=(
+                scene["gt_xyz"][n - 1] if have_gt and outs is not None
                 else None
             ),
         )

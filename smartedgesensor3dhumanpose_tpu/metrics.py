@@ -1,0 +1,126 @@
+"""Ground-truth evaluation metrics (MPJPE / PCK) for published skeletons.
+
+The reference evaluates against ground truth out-of-repo (the rviz config
+expects a `skeleton3d_gt_new` marker topic, pose_hall.rviz:167, and the RSS
+2021 paper reports PCK@t / MPJPE); this module is the in-repo equivalent for
+any source of ground truth — the synthetic scene generator
+(`io.synthetic.generate_scene` returns exact `gt_xyz`) or externally
+recorded GT.
+
+Host-side NumPy on pipeline outputs: evaluation is offline tooling, not a
+per-frame device stage. `bench.py` uses `sequence_joint_errors` for the
+`mpjpe_mm` it records in every round's artifact.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+def frame_joint_errors(
+    xyz: np.ndarray,
+    score: np.ndarray,
+    valid: np.ndarray,
+    gt_xyz: np.ndarray,
+    min_joints: int = 5,
+    max_match_dist: float = 0.5,
+) -> List[np.ndarray]:
+    """Greedy GT <- prediction matching for one frame.
+
+    For each ground-truth person (in order), pick the unused published
+    person with the lowest mean per-joint error over that prediction's
+    scored joints; accept the match when the mean is below
+    `max_match_dist` meters. Predictions with fewer than `min_joints`
+    scored joints never match (a skeleton fragment should count as a miss,
+    not lower the error by cherry-picking its best joints).
+
+    Args:
+      xyz: [P, J, 3] published joint positions (input-model layout).
+      score: [P, J] per-joint scores (> 0 marks a published joint).
+      valid: [P] person validity / publish gate.
+      gt_xyz: [G, J, 3] ground-truth joints.
+
+    Returns:
+      A list with one [n_scored_joints] error vector (meters) per MATCHED
+      ground-truth person; unmatched GT people contribute nothing (count
+      misses via len(result) vs G).
+    """
+    errs: List[np.ndarray] = []
+    used: set = set()
+    cand = np.nonzero(np.asarray(valid))[0]
+    for g in range(gt_xyz.shape[0]):
+        best = np.inf
+        best_e: Optional[np.ndarray] = None
+        best_p: Optional[int] = None
+        for p in cand:
+            if p in used:
+                continue
+            ok = score[p] > 0
+            if ok.sum() < min_joints:
+                continue
+            e = np.linalg.norm(xyz[p][ok] - gt_xyz[g][ok], axis=-1)
+            if e.mean() < best:
+                best, best_e, best_p = e.mean(), e, p
+        if best_e is not None and best < max_match_dist:
+            used.add(best_p)
+            errs.append(best_e)
+    return errs
+
+
+def sequence_joint_errors(
+    xyz: np.ndarray,
+    score: np.ndarray,
+    valid: np.ndarray,
+    gt_xyz: np.ndarray,
+    to_fusion: Optional[np.ndarray] = None,
+    start: int = 0,
+    min_joints: int = 5,
+    max_match_dist: float = 0.5,
+) -> np.ndarray:
+    """All matched per-joint errors over a sequence.
+
+    Args:
+      xyz: [T, P, K, 3] published positions — fusion (21-joint) layout when
+        `to_fusion` is given (it selects the input model's 17 joints so the
+        comparison runs in the ground truth's layout), else already [T,P,J,3].
+      score: [T, P, K]; valid: [T, P]; gt_xyz: [T, G, J, 3].
+      start: first frame to evaluate (skip the tracker's publish-gate
+        warm-up, reference pose_prior_mult_node.cpp:845-852).
+
+    Returns:
+      [N] concatenated joint errors in meters (empty when nothing matched).
+    """
+    xyz = np.asarray(xyz)
+    score = np.asarray(score)
+    valid = np.asarray(valid)
+    gt_xyz = np.asarray(gt_xyz)
+    if to_fusion is not None:
+        sel = np.asarray(to_fusion)
+        xyz = xyz[..., sel, :]
+        score = score[..., sel]
+    errs: List[np.ndarray] = []
+    for t in range(start, gt_xyz.shape[0]):
+        errs.extend(
+            frame_joint_errors(
+                xyz[t], score[t], valid[t], gt_xyz[t],
+                min_joints=min_joints, max_match_dist=max_match_dist,
+            )
+        )
+    return np.concatenate(errs) if errs else np.zeros((0,))
+
+
+def mpjpe(joint_errors: np.ndarray) -> float:
+    """Mean per-joint position error in meters (NaN when empty)."""
+    joint_errors = np.asarray(joint_errors)
+    return float(joint_errors.mean()) if joint_errors.size else float("nan")
+
+
+def pck(joint_errors: np.ndarray, threshold: float = 0.15) -> float:
+    """Percentage of correct keypoints: fraction of matched joints within
+    `threshold` meters (the paper's PCK@t; NaN when empty)."""
+    joint_errors = np.asarray(joint_errors)
+    if not joint_errors.size:
+        return float("nan")
+    return float((joint_errors <= threshold).mean())

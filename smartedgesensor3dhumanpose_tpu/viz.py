@@ -39,6 +39,12 @@ FUSION_COLORS = (
 # toward gray keeps joints identifiable while fused stays visually dominant.
 RAW_COLORS = 0.35 * FUSION_COLORS + 0.55
 
+# Third scheme for ground-truth skeletons (the rviz setup reserves a
+# skeleton3d_gt_new display, pose_hall.rviz:167): uniform dark green.
+GT_COLORS = np.tile(
+    np.array([0.05, 0.45, 0.05]), (skeleton.NUM_FUSION_JOINTS, 1)
+)
+
 
 def draw_2d_overlay(
     ax,
@@ -188,12 +194,31 @@ class SigmaStats:
         )
 
 
+def _draw_gt_layer(ax3d, gt_xyz, pose_method: str):
+    """Ground-truth skeletons (input-model 17-joint layout) as the third
+    display layer (rviz skeleton3d_gt_new, pose_hall.rviz:167)."""
+    model = skeleton.input_model(pose_method)
+    to_f = np.asarray(model.to_fusion)
+    kf = skeleton.NUM_FUSION_JOINTS
+    for g in range(np.asarray(gt_xyz).shape[0]):
+        xyz_f = np.zeros((kf, 3))
+        score_f = np.zeros((kf,))
+        xyz_f[to_f] = np.asarray(gt_xyz)[g]
+        score_f[to_f] = 1.0
+        draw_skeleton_3d(
+            ax3d, xyz_f, score_f, colors=GT_COLORS,
+            linewidth=0.8, marker_size=4.0,
+        )
+
+
 def render_frame_summary(
     out,
     rig,
     path: str,
     cameras_to_show: Sequence[int] = (0, 1, 2, 3),
     input_frame=None,
+    gt_xyz=None,
+    pose_method: str = "simple",
 ):
     """Save a PNG with the 3D skeletons — RAW triangulation output (dim
     palette) under the FUSED/smoothed result, matching the rviz double
@@ -201,7 +226,9 @@ def render_frame_summary(
     a grid of per-camera feedback overlays (C26).
 
     input_frame: optional Frame (single frame) whose raw 2D input detections
-    are drawn dimly under each camera's feedback overlay."""
+    are drawn dimly under each camera's feedback overlay.
+    gt_xyz: optional [G, J, 3] ground-truth skeletons (input-model layout)
+    drawn as a dark-green third layer (rviz skeleton3d_gt_new)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -210,6 +237,8 @@ def render_frame_summary(
     n_cams = len(cameras_to_show)
     fig = plt.figure(figsize=(4 * (n_cams + 1), 4))
     ax3d = fig.add_subplot(1, n_cams + 1, 1, projection="3d")
+    if gt_xyz is not None:
+        _draw_gt_layer(ax3d, gt_xyz, pose_method)
     raw_valid = np.asarray(out.persons_raw.valid)
     for p in np.nonzero(raw_valid)[0]:
         draw_skeleton_3d(
@@ -228,7 +257,9 @@ def render_frame_summary(
             np.asarray(out.fused.score[p]),
             int(np.asarray(out.fused.person_id[p])),
         )
-    ax3d.set_title("3D: raw (dim) + fused")
+    ax3d.set_title(
+        "3D: raw (dim) + fused" + (" + GT (green)" if gt_xyz is not None else "")
+    )
     size = np.asarray(rig.image_size)
     for k, c in enumerate(cameras_to_show):
         ax = fig.add_subplot(1, n_cams + 1, k + 2)

@@ -156,14 +156,18 @@ def test_demo_cli_smoke(tmp_path, capsys):
 
     out_npz = os.path.join(tmp_path, "out.npz")
     rec = os.path.join(tmp_path, "rec.jsonl")
+    viz_png = os.path.join(tmp_path, "dash.png")
     demo.main(
         [
             "--cameras", "6", "--people", "2", "--frames", "12",
             "--save", out_npz, "--record-jsonl", rec,
+            "--eval", "--viz", viz_png,
         ]
     )
     captured = capsys.readouterr().out
     assert "fused frames/s" in captured
+    assert "MPJPE" in captured and "PCK@0.15m" in captured
+    assert os.path.exists(viz_png) and os.path.getsize(viz_png) > 0
     assert os.path.exists(out_npz)
     with np.load(out_npz) as z:
         assert z["fused_xyz"].shape[0] == 12

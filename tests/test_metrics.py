@@ -1,0 +1,105 @@
+"""Evaluation metrics (metrics.py) + rig persistence round trip."""
+
+import numpy as np
+
+from smartedgesensor3dhumanpose_tpu import cameras, metrics
+
+
+def _frame(gt, preds, scores=None, valid=None):
+    """Pack [P, J, 3] predictions into frame_joint_errors arguments."""
+    preds = np.asarray(preds, np.float64)
+    p, j, _ = preds.shape
+    scores = np.ones((p, j)) if scores is None else np.asarray(scores)
+    valid = np.ones((p,), bool) if valid is None else np.asarray(valid)
+    return preds, scores, valid, np.asarray(gt, np.float64)
+
+
+def test_frame_matching_exact_and_gated():
+    gt = np.zeros((2, 17, 3))
+    gt[1, :, 0] = 5.0  # second person far away
+    preds = gt.copy()
+    preds[..., 0] += 0.01  # 1 cm x-offset everywhere
+    errs = metrics.frame_joint_errors(*_frame(gt, preds))
+    assert len(errs) == 2
+    np.testing.assert_allclose(
+        np.concatenate(errs), 0.01, rtol=1e-6
+    )
+    # A prediction beyond the match gate contributes nothing.
+    far = preds.copy()
+    far[1] += 10.0
+    errs = metrics.frame_joint_errors(*_frame(gt, far))
+    assert len(errs) == 1
+
+
+def test_frame_matching_greedy_used_set():
+    gt = np.zeros((2, 17, 3))
+    gt[1, :, 0] = 0.3
+    # ONE prediction sitting between both GT people: it may match only one.
+    pred = np.zeros((1, 17, 3))
+    pred[0, :, 0] = 0.1
+    errs = metrics.frame_joint_errors(*_frame(gt, pred))
+    assert len(errs) == 1
+    np.testing.assert_allclose(errs[0], 0.1, rtol=1e-6)
+
+
+def test_fragments_never_match():
+    gt = np.zeros((1, 17, 3))
+    pred = np.zeros((1, 17, 3))
+    scores = np.zeros((1, 17))
+    scores[0, :4] = 1.0  # only 4 scored joints < min_joints=5
+    errs = metrics.frame_joint_errors(*_frame(gt, pred, scores=scores))
+    assert len(errs) == 0
+    scores[0, :5] = 1.0
+    errs = metrics.frame_joint_errors(*_frame(gt, pred, scores=scores))
+    assert len(errs) == 1 and errs[0].shape == (5,)
+
+
+def test_invalid_persons_excluded():
+    gt = np.zeros((1, 17, 3))
+    pred = np.zeros((1, 17, 3))
+    errs = metrics.frame_joint_errors(
+        *_frame(gt, pred, valid=np.array([False]))
+    )
+    assert len(errs) == 0
+
+
+def test_sequence_with_fusion_layout_and_summaries():
+    t, g, j, k = 3, 2, 5, 9
+    rng = np.random.default_rng(0)
+    to_fusion = np.array([0, 2, 4, 6, 8])  # 5 input joints -> 9 fusion slots
+    gt = rng.normal(size=(t, g, j, 3))
+    xyz = np.zeros((t, g, k, 3))
+    # Pure x-offset: every matched joint error is exactly 0.02 m.
+    xyz[:, :, to_fusion] = gt
+    xyz[:, :, to_fusion, 0] += 0.02
+    score = np.zeros((t, g, k))
+    score[:, :, to_fusion] = 1.0
+    valid = np.ones((t, g), bool)
+    errs = metrics.sequence_joint_errors(
+        xyz, score, valid, gt, to_fusion=to_fusion, start=1
+    )
+    assert errs.shape == ((t - 1) * g * j,)
+    np.testing.assert_allclose(errs, 0.02, rtol=1e-6)
+    np.testing.assert_allclose(metrics.mpjpe(errs), 0.02, rtol=1e-6)
+    assert metrics.pck(errs, threshold=0.05) == 1.0
+    assert metrics.pck(errs, threshold=0.01) == 0.0
+    assert np.isnan(metrics.mpjpe(np.zeros((0,))))
+    assert np.isnan(metrics.pck(np.zeros((0,))))
+
+
+def test_rig_save_load_roundtrip(tmp_path):
+    rig = cameras.hall_rig(6)
+    path = str(tmp_path / "rig.json")
+    cameras.save_rig(rig, path)
+    rig2 = cameras.load_rig(path)
+    np.testing.assert_array_equal(np.asarray(rig.P), np.asarray(rig2.P))
+    np.testing.assert_array_equal(np.asarray(rig.K), np.asarray(rig2.K))
+    np.testing.assert_array_equal(
+        np.asarray(rig.image_size), np.asarray(rig2.image_size)
+    )
+    # F is recomputed from the PERSISTED (float32-quantized) P, while the
+    # original rig derived it from the pre-quantization float64 extrinsics
+    # — close, not bit-identical.
+    np.testing.assert_allclose(
+        np.asarray(rig.F), np.asarray(rig2.F), atol=1e-5
+    )
