@@ -130,7 +130,7 @@ def build_rig(
     )
 
 
-def save_rig(rig: CameraRig, path: str) -> None:
+def save_rig(rig: CameraRig, path: str, P=None, K=None) -> None:
     """Persist a calibration to JSON (P, K, image_size; F is derived).
 
     The reference distributes calibration as launch-file static transforms +
@@ -138,12 +138,19 @@ def save_rig(rig: CameraRig, path: str) -> None:
     skeleton_3d_triang_mult_node.cpp:199-228); here the persisted rig file
     is the deployment equivalent — `load_rig` rebuilds the rig (including
     the fundamental-matrix precompute) from it.
+
+    Precision: a CameraRig stores device arrays in its compute dtype
+    (float32 by default), so saving from `rig` alone serializes the
+    *quantized* calibration and `load_rig` recomputes F from it. To keep a
+    float64 calibration lossless through the round trip, pass the original
+    `P`/`K` arrays handed to `build_rig` — they are serialized verbatim
+    instead of the rig's quantized copies.
     """
     import json
 
     data = {
-        "P": np.asarray(rig.P, np.float64).tolist(),
-        "K": np.asarray(rig.K, np.float64).tolist(),
+        "P": np.asarray(rig.P if P is None else P, np.float64).tolist(),
+        "K": np.asarray(rig.K if K is None else K, np.float64).tolist(),
         "image_size": np.asarray(rig.image_size, np.float64).tolist(),
     }
     with open(path, "w") as f:

@@ -55,14 +55,16 @@ class FusionConfig:
     # Cost assigned to infeasible pairings (MAX_COSTS, :43).
     max_cost: float = 1.0e6
     # Assignment solver strategy inside the association scan:
-    #  "cond_while" (default): on TPU this resolves to "pallas_scan" (the
-    #    whole camera fold in one Pallas launch — fastest online AND
-    #    offline); elsewhere it runs a while-loop JV behind a lax.cond so
-    #    the solver only executes on ambiguous frames,
+    #  "auto" (default): resolves per backend — the fused Pallas camera
+    #    fold on TPU (one launch; fastest online AND offline), the
+    #    cond-guarded while-loop JV elsewhere,
+    #  "cond_while": XLA camera scan with a while-loop JV behind a
+    #    lax.cond so the solver only executes on ambiguous frames
+    #    (literal: never rewritten, even on TPU),
     #  "pallas_scan": force the fused Pallas camera fold,
     #  "pallas": XLA camera scan + single-kernel Pallas JV per step,
     #  "unrolled": XLA camera scan + unrolled XLA JV.
-    assignment_impl: str = "cond_while"
+    assignment_impl: str = "auto"
 
     @property
     def num_input_joints(self) -> int:

@@ -294,12 +294,16 @@ def main(argv=None):
         else:
             from smartedgesensor3dhumanpose_tpu import metrics, skeleton
 
+            # GT joints are in the configured input model's layout: derive
+            # the 17->21 selection from the pipeline config rather than
+            # hardcoding SIMPLE_MODEL (would silently mis-map under h36m).
+            model = skeleton.input_model(config.fusion.pose_method)
             errs = metrics.sequence_joint_errors(
                 outs.fused.xyz,
                 outs.fused.score,
                 outs.fused.valid,
                 scene["gt_xyz"],
-                to_fusion=np.asarray(skeleton.SIMPLE_MODEL.to_fusion),
+                to_fusion=np.asarray(model.to_fusion),
                 start=n // 4,  # skip the tracker publish-gate warm-up
             )
             print(
@@ -329,6 +333,7 @@ def main(argv=None):
                 scene["gt_xyz"][n - 1] if have_gt and outs is not None
                 else None
             ),
+            pose_method=config.fusion.pose_method,
         )
         print(f"dashboard written to {args.viz}")
     if args.live and outs is not None:

@@ -19,6 +19,7 @@ fixed-shape XLA program.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax
@@ -362,18 +363,19 @@ def associate(
     conf_obs = (det_score > 0.5).astype(dtype).reshape(c * d)  # (:352)
 
     impl = config.assignment_impl
-    if (
-        impl == "cond_while"
-        and jax.default_backend() == "tpu"
-        and h <= 128
-        and d <= 128
-    ):
-        # On TPU the default ("cond_while") resolves to the fused Pallas
-        # fold: one launch replaces the C-step scan's serialized rounds of
-        # small kernels. Measured on the 16-cam online step (v5e): 0.42 ms
-        # vs 1.97 ms for the cond-guarded XLA scan — the cond only pays off
-        # on backends without the fused kernel (CPU tests, oracles).
-        impl = "pallas_scan"
+    if impl == "auto":
+        # The default resolves per backend: on TPU the fused Pallas fold —
+        # one launch replaces the C-step scan's serialized rounds of small
+        # kernels (measured on the 16-cam online step, v5e: 0.42 ms vs
+        # 1.97 ms for the cond-guarded XLA scan) — elsewhere the
+        # cond-guarded while-loop JV (CPU tests, oracles). An explicit
+        # "cond_while" is honored literally on every backend.
+        if jax.default_backend() == "tpu" and h <= 128 and d <= 128:
+            impl = "pallas_scan"
+        else:
+            impl = "cond_while"
+    if impl != config.assignment_impl:
+        config = dataclasses.replace(config, assignment_impl=impl)
 
     if impl == "pallas_scan":
         # The whole C-step fold in ONE Pallas launch (assembly matmul + JV

@@ -14,19 +14,32 @@ per-frame device stage. `bench.py` uses `sequence_joint_errors` for the
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
 
-def frame_joint_errors(
+class Match(NamedTuple):
+    """One matched GT person: which prediction matched it, the per-scored-
+    joint errors, and the scored-joint coverage (n_scored / J) — coverage
+    makes fragment matches visible: a prediction is judged on its OWN
+    scored joints, so a skeleton that drops its hard joints is scored only
+    on the easy ones; low coverage flags exactly that."""
+
+    gt_index: int
+    pred_index: int
+    errors: np.ndarray  # [n_scored_joints] meters
+    coverage: float  # scored-joint fraction of the matched prediction
+
+
+def frame_matches(
     xyz: np.ndarray,
     score: np.ndarray,
     valid: np.ndarray,
     gt_xyz: np.ndarray,
     min_joints: int = 5,
     max_match_dist: float = 0.5,
-) -> List[np.ndarray]:
+) -> List[Match]:
     """Greedy GT <- prediction matching for one frame.
 
     For each ground-truth person (in order), pick the unused published
@@ -43,13 +56,13 @@ def frame_joint_errors(
       gt_xyz: [G, J, 3] ground-truth joints.
 
     Returns:
-      A list with one [n_scored_joints] error vector (meters) per MATCHED
-      ground-truth person; unmatched GT people contribute nothing (count
-      misses via len(result) vs G).
+      One Match per MATCHED ground-truth person; unmatched GT people
+      contribute nothing (count misses via len(result) vs G).
     """
-    errs: List[np.ndarray] = []
+    matches: List[Match] = []
     used: set = set()
     cand = np.nonzero(np.asarray(valid))[0]
+    n_joints = score.shape[-1]
     for g in range(gt_xyz.shape[0]):
         best = np.inf
         best_e: Optional[np.ndarray] = None
@@ -65,8 +78,33 @@ def frame_joint_errors(
                 best, best_e, best_p = e.mean(), e, p
         if best_e is not None and best < max_match_dist:
             used.add(best_p)
-            errs.append(best_e)
-    return errs
+            matches.append(
+                Match(
+                    gt_index=g,
+                    pred_index=int(best_p),
+                    errors=best_e,
+                    coverage=float(best_e.shape[0] / n_joints),
+                )
+            )
+    return matches
+
+
+def frame_joint_errors(
+    xyz: np.ndarray,
+    score: np.ndarray,
+    valid: np.ndarray,
+    gt_xyz: np.ndarray,
+    min_joints: int = 5,
+    max_match_dist: float = 0.5,
+) -> List[np.ndarray]:
+    """Per-matched-GT-person error vectors (see `frame_matches`)."""
+    return [
+        m.errors
+        for m in frame_matches(
+            xyz, score, valid, gt_xyz,
+            min_joints=min_joints, max_match_dist=max_match_dist,
+        )
+    ]
 
 
 def sequence_joint_errors(
@@ -109,6 +147,63 @@ def sequence_joint_errors(
             )
         )
     return np.concatenate(errs) if errs else np.zeros((0,))
+
+
+class SequenceEval(NamedTuple):
+    """Aggregate GT evaluation over a sequence (the paper reports MPJPE and
+    PCK@t; misses and coverage qualify those numbers — a low MPJPE earned
+    by matching only the easy people/joints is visible here)."""
+
+    joint_errors: np.ndarray  # [N] all matched joint errors (meters)
+    n_gt: int  # ground-truth person instances evaluated
+    n_matched: int  # GT instances that matched a prediction
+    coverage: float  # mean scored-joint fraction over matches (NaN if none)
+
+    @property
+    def miss_rate(self) -> float:
+        return 1.0 - self.n_matched / self.n_gt if self.n_gt else float("nan")
+
+
+def evaluate_sequence(
+    xyz: np.ndarray,
+    score: np.ndarray,
+    valid: np.ndarray,
+    gt_xyz: np.ndarray,
+    to_fusion: Optional[np.ndarray] = None,
+    start: int = 0,
+    min_joints: int = 5,
+    max_match_dist: float = 0.5,
+) -> SequenceEval:
+    """`sequence_joint_errors` plus match accounting (misses, coverage).
+
+    Same arguments; returns a SequenceEval whose `joint_errors` equals the
+    `sequence_joint_errors` output for identical inputs.
+    """
+    xyz = np.asarray(xyz)
+    score = np.asarray(score)
+    valid = np.asarray(valid)
+    gt_xyz = np.asarray(gt_xyz)
+    if to_fusion is not None:
+        sel = np.asarray(to_fusion)
+        xyz = xyz[..., sel, :]
+        score = score[..., sel]
+    errs: List[np.ndarray] = []
+    covs: List[float] = []
+    n_gt = 0
+    for t in range(start, gt_xyz.shape[0]):
+        n_gt += gt_xyz.shape[1]
+        for m in frame_matches(
+            xyz[t], score[t], valid[t], gt_xyz[t],
+            min_joints=min_joints, max_match_dist=max_match_dist,
+        ):
+            errs.append(m.errors)
+            covs.append(m.coverage)
+    return SequenceEval(
+        joint_errors=np.concatenate(errs) if errs else np.zeros((0,)),
+        n_gt=n_gt,
+        n_matched=len(covs),
+        coverage=float(np.mean(covs)) if covs else float("nan"),
+    )
 
 
 def mpjpe(joint_errors: np.ndarray) -> float:

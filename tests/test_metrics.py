@@ -87,6 +87,34 @@ def test_sequence_with_fusion_layout_and_summaries():
     assert np.isnan(metrics.pck(np.zeros((0,))))
 
 
+def test_evaluate_sequence_accounting():
+    t, g, j = 4, 3, 17
+    rng = np.random.default_rng(1)
+    gt = rng.normal(size=(t, g, j, 3))
+    # Two of three GT people predicted (person 2 always missed); person 1 is
+    # a half-coverage fragment (9 of 17 joints scored).
+    xyz = gt[:, :2].copy()
+    xyz[..., 0] += 0.03
+    score = np.ones((t, 2, j))
+    score[:, 1, 9:] = 0.0
+    valid = np.ones((t, 2), bool)
+    ev = metrics.evaluate_sequence(xyz, score, valid, gt, start=1)
+    assert ev.n_gt == (t - 1) * g
+    assert ev.n_matched == (t - 1) * 2
+    np.testing.assert_allclose(ev.miss_rate, 1.0 / 3.0, rtol=1e-9)
+    np.testing.assert_allclose(ev.coverage, (1.0 + 9.0 / 17.0) / 2, rtol=1e-9)
+    np.testing.assert_allclose(ev.joint_errors, 0.03, rtol=1e-6)
+    # joint_errors must equal the legacy sequence_joint_errors output.
+    legacy = metrics.sequence_joint_errors(xyz, score, valid, gt, start=1)
+    np.testing.assert_array_equal(ev.joint_errors, legacy)
+    # Empty case: NaNs, not crashes.
+    ev0 = metrics.evaluate_sequence(
+        xyz, np.zeros_like(score), valid, gt, start=1
+    )
+    assert ev0.n_matched == 0 and np.isnan(ev0.coverage)
+    assert ev0.miss_rate == 1.0
+
+
 def test_rig_save_load_roundtrip(tmp_path):
     rig = cameras.hall_rig(6)
     path = str(tmp_path / "rig.json")
@@ -103,3 +131,23 @@ def test_rig_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(rig.F), np.asarray(rig2.F), atol=1e-5
     )
+
+
+def test_rig_save_load_lossless_from_raw_f64(tmp_path):
+    """Passing the original float64 P/K to save_rig makes the round trip
+    exact: F recomputed from the persisted calibration matches the rig
+    built directly from the raw arrays, bit for bit."""
+    rng = np.random.default_rng(3)
+    c = 4
+    # Raw float64 calibration with no exact float32 representation.
+    P = np.asarray(cameras.hall_rig(c).P, np.float64)
+    P += rng.normal(scale=1e-9, size=P.shape)
+    K = np.asarray(cameras.hall_rig(c).K, np.float64)
+    K += rng.normal(scale=1e-9, size=K.shape)
+    rig = cameras.build_rig(P, K)
+    path = str(tmp_path / "rig64.json")
+    cameras.save_rig(rig, path, P=P, K=K)
+    rig2 = cameras.load_rig(path)
+    np.testing.assert_array_equal(np.asarray(rig.P), np.asarray(rig2.P))
+    np.testing.assert_array_equal(np.asarray(rig.K), np.asarray(rig2.K))
+    np.testing.assert_array_equal(np.asarray(rig.F), np.asarray(rig2.F))
