@@ -95,12 +95,15 @@ def main():
 
     # ---- accuracy vs the scene's ground truth: mean per-joint position
     # error of the published (tracked + LM-smoothed) skeletons, greedy-
-    # matched to GT people per frame (metrics.py). Evaluated after the
+    # matched to GT people per frame (metrics.py), plus the qualifying
+    # accounting the paper reports alongside it — PCK@0.15, the unmatched-GT
+    # miss rate, and scored-joint coverage (a fragment skeleton matching on
+    # its easy joints shows up here, not in MPJPE). Evaluated after the
     # tracker's publish gate has warmed (> min_num_obs frames). Host-side
     # NumPy on outputs the throughput runs already produced.
     from smartedgesensor3dhumanpose_tpu import metrics, skeleton
 
-    joint_errs = metrics.sequence_joint_errors(
+    ev = metrics.evaluate_sequence(
         outs.fused.xyz,
         outs.fused.score,
         outs.fused.valid,
@@ -108,9 +111,15 @@ def main():
         to_fusion=np.asarray(skeleton.SIMPLE_MODEL.to_fusion),
         start=num_frames // 4,
     )
+    joint_errs = ev.joint_errors
     mpjpe_mm = (
         round(metrics.mpjpe(joint_errs) * 1e3, 3) if joint_errs.size else None
     )
+    pck_015 = (
+        round(metrics.pck(joint_errs, 0.15), 4) if joint_errs.size else None
+    )
+    miss_rate = round(ev.miss_rate, 4) if ev.n_gt else None
+    joint_coverage = round(ev.coverage, 4) if ev.n_matched else None
 
     # ---- online p50 step latency (wall clock, includes host dispatch; in
     # this sandbox the remote-dispatch tunnel dominates it)
@@ -125,6 +134,47 @@ def main():
         jax.block_until_ready(out)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
+
+    # ---- live synced-loop latency: per-camera messages -> native
+    # ApproximateTimeSync -> latest-wins slot -> device step, ONE process
+    # (the reference's actual topology, skeleton_3d_triang_mult_node.cpp
+    # :999-1025,1216-1224). e2e = newest-contributing-message arrival ->
+    # step done; like p50_step it includes this sandbox's remote-dispatch
+    # tunnel, so report both and let p50_device above carry the device cost.
+    e2e_ms_p50 = None
+    sync_drop_stats = None
+    try:
+        import tempfile
+
+        from smartedgesensor3dhumanpose_tpu import online
+        from smartedgesensor3dhumanpose_tpu.io import replay as replay_lib
+
+        live_scene = synthetic.generate_scene(
+            synthetic.SceneConfig(
+                num_cameras=16, num_people=6, num_frames=64, seed=43
+            )
+        )
+        with tempfile.TemporaryDirectory() as td:
+            live_path = f"{td}/live.jsonl"
+            replay_lib.save_jsonl(live_path, live_scene)
+            msgs = list(replay_lib.load_jsonl_messages(live_path))
+        # pipe.step is warm from the latency loop above (same shapes).
+        _, _, live_report = online.run_online_synced(
+            pipe.step,
+            pipe.init_state(),
+            msgs,
+            num_cameras=16,
+            max_dets=6,
+            message_interval_s=1.0 / (30.0 * 16),  # 30 Hz sensors x 16 cams
+        )
+        e2e_ms_p50 = round(live_report.e2e_ms_p50, 3)
+        sync_drop_stats = {
+            "frames_synced": live_report.frames_synced,
+            "processed": live_report.processed_frames,
+            "slot_dropped": live_report.slot_dropped,
+        }
+    except Exception as e:  # context metric; record, never fail the bench
+        e2e_ms_p50 = f"error: {type(e).__name__}: {e}"
 
     # ---- on-device step time: the SAME online per-frame step chained in
     # one compiled scan — zero per-call dispatch, so wall/K is the genuine
@@ -184,9 +234,61 @@ def main():
 
         traceback.print_exc(file=sys.stderr)
 
-    # ---- on-hardware parity artifact: whole-frame differential against the
-    # compiled reference C++ on THIS backend (BASELINE.md's 1 mm budget is a
-    # claim about the TPU float32 path; see parity.py).
+    # ---- adversarial throughput: the same 16-cam pipeline under ghost
+    # detections + identity swaps + correlated occlusions (io/synthetic.py
+    # knobs, mirroring the reference's veto accumulation stress,
+    # skeleton_3d_triang_mult_node.cpp:344-381). The association kernel's
+    # early-exit JV cannot skip work here, so this is the stressed
+    # counterpart of the benign headline fps.
+    adversarial_fps = None
+    try:
+        import parity as parity_lib
+
+        a_scene, a_data, a_config = parity_lib._full_scene_and_config(True)
+        a_frames = Frame(
+            kp2d=jnp.asarray(a_data["kp2d"]),
+            cov2d=jnp.asarray(a_data["cov2d"]),
+            det_score=jnp.asarray(a_data["det_score"]),
+            det_valid=jnp.asarray(a_data["det_valid"]),
+            cam_stamp=jnp.asarray(a_data["cam_stamp"], jnp.float32),
+            fb_delay=jnp.asarray(a_data["fb_delay"]),
+        )
+        a_n = int(a_frames.cam_stamp.shape[0])
+        a_pipe = pl.Pipeline(a_scene["rig"], a_config, fusion_batch=32)
+        _, a_out = a_pipe.run_offline(a_pipe.init_state(), a_frames)
+        jax.block_until_ready(a_out)
+        t0 = time.perf_counter()
+        a_outs = []
+        for _ in range(n_rep):
+            _, a_out = a_pipe.run_offline(a_pipe.init_state(), a_frames)
+            a_outs.append(a_out)
+        jax.block_until_ready(a_outs)
+        del a_outs
+        adversarial_fps = round(a_n / ((time.perf_counter() - t0) / n_rep), 2)
+    except Exception as e:
+        adversarial_fps = f"error: {type(e).__name__}: {e}"
+
+    # ---- scaled roofline: per-stage device ms/frame on the 64-cam hall
+    # (profiling.py), recorded so the "where the time goes at scale" claim
+    # is a driver-visible artifact rather than prose in STATUS.md.
+    scaled_stage_ms = None
+    try:
+        from smartedgesensor3dhumanpose_tpu import profiling
+
+        if scaled_error is None:
+            s_stages = profiling.profile_stages(s_pipe, sf, reps=3)
+            scaled_stage_ms = {k: round(v, 4) for k, v in s_stages.items()}
+    except Exception as e:
+        scaled_stage_ms = f"error: {type(e).__name__}: {e}"
+
+    # ---- on-hardware parity artifacts (parity.py):
+    #  - whole-frame fusion differential against the compiled reference C++
+    #    on THIS backend (BASELINE.md's 1 mm budget is a claim about the TPU
+    #    float32 path),
+    #  - the FULL offline pipeline (Pallas association fold + single-launch
+    #    tracker kernel + tree LM + reprojection) vs the forced-f64 CPU
+    #    XLA-scan oracle: integer decisions exact, floats within budget —
+    #    measured on the benign scene AND the adversarial one.
     parity = {}
     try:
         import parity as parity_lib
@@ -196,6 +298,19 @@ def main():
         raise
     except BaseException as e:  # pytest-skip exceptions derive from BaseException
         parity = {"parity_error": f"{type(e).__name__}: {e}"}
+    try:
+        import parity as parity_lib
+
+        parity.update(parity_lib.run_full_parity())
+        parity.update(
+            parity_lib.run_full_parity(
+                adversarial=True, prefix="adversarial_parity"
+            )
+        )
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except BaseException as e:
+        parity["full_parity_error"] = f"{type(e).__name__}: {e}"
 
     result = {
         "metric": "fused_3d_skeleton_fps_16cam_6people",
@@ -207,12 +322,20 @@ def main():
         # BENCH_r01/r02 used per-rep blocking and are not comparable.
         "timing": "pipelined",
         "mpjpe_mm": mpjpe_mm,
+        "pck_0.15": pck_015,
+        "gt_miss_rate": miss_rate,
+        "joint_coverage": joint_coverage,
         "p50_step_latency_ms": round(p50_ms, 3),
         "p50_device_ms": round(device_step_ms, 3),
+        "e2e_ms_p50": e2e_ms_p50,
+        "adversarial_fps": adversarial_fps,
         "scaled_64cam_25people_fps": scaled_fps,
+        "scaled_stage_ms": scaled_stage_ms,
         "device": str(jax.devices()[0]),
         "num_frames": num_frames,
     }
+    if sync_drop_stats is not None:
+        result["live_sync"] = sync_drop_stats
     if scaled_error is not None:
         result["scaled_error"] = scaled_error
     result.update(parity)

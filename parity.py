@@ -196,8 +196,8 @@ def _full_outputs_np(outs) -> dict:
     }
 
 
-def _oracle_dump(out_path: str, adversarial: bool) -> None:
-    """Subprocess entry: run the f64 CPU XLA-scan oracle, dump npz."""
+def _oracle_dump(out_path: str, adversarial: bool, dtype: str = "float64") -> None:
+    """Subprocess entry: run the CPU XLA-scan oracle at `dtype`, dump npz."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -213,12 +213,15 @@ def _oracle_dump(out_path: str, adversarial: bool) -> None:
         config,
         fusion=dataclasses.replace(config.fusion, assignment_impl="cond_while"),
     )
-    outs = _full_run(data, scene["rig"], config, jnp.float64)
+    outs = _full_run(
+        data, scene["rig"], config,
+        jnp.float64 if dtype == "float64" else jnp.float32,
+    )
     np.savez(out_path, **_full_outputs_np(outs))
 
 
-def _oracle_outputs(adversarial: bool) -> dict:
-    """Run the f64 CPU oracle in a clean subprocess (the ambient env pins
+def _oracle_outputs(adversarial: bool, dtype: str = "float64") -> dict:
+    """Run the CPU oracle in a clean subprocess (the ambient env pins
     the axon TPU backend via a site hook; same recipe as
     __graft_entry__.dryrun_multichip)."""
     import subprocess
@@ -235,7 +238,8 @@ def _oracle_outputs(adversarial: bool) -> dict:
                 sys.executable,
                 "-c",
                 "import parity; "
-                f"parity._oracle_dump({out_path!r}, {bool(adversarial)})",
+                f"parity._oracle_dump({out_path!r}, {bool(adversarial)}, "
+                f"{dtype!r})",
             ],
             cwd=_HERE,
             env=env,
@@ -256,8 +260,26 @@ def _oracle_outputs(adversarial: bool) -> dict:
             os.unlink(out_path)
 
 
-def run_full_parity(adversarial: bool = False, prefix: str = "full_parity") -> dict:
-    """Full offline pipeline on the current backend vs the f64 CPU oracle.
+def run_full_parity(
+    adversarial: bool = False,
+    prefix: str = "full_parity",
+    oracle_dtype: str | None = None,
+) -> dict:
+    """Full offline pipeline on the current backend vs the CPU XLA-scan
+    oracle.
+
+    Two regimes, chosen by `oracle_dtype` (default: f64 benign, f32
+    adversarial):
+      - float64 oracle: the precision claim — BASELINE.md's 1 mm budget for
+        the f32 TPU kernel path against ground-truth-precision arithmetic.
+        Meaningful on the benign scene, where no discrete decision rides a
+        threshold edge.
+      - float32 oracle: the kernel-correctness claim — SAME precision, same
+        scan semantics, different backend + kernels (Pallas association
+        fold / tracker kernel / tree LM vs the XLA cond_while scan). On the
+        adversarial scene many veto/association costs land near the 0.045
+        gate, so f32-vs-f64 flips are expected and uninformative; f32-vs-f32
+        decision equality is exactly what a Mosaic lowering bug would break.
 
     Returns {prefix}_worst_mm (published fused joints), {prefix}_pred_worst_mm,
     {prefix}_feedback_worst_px, {prefix}_decisions_exact plus granular
@@ -266,11 +288,13 @@ def run_full_parity(adversarial: bool = False, prefix: str = "full_parity") -> d
     import jax
     import jax.numpy as jnp
 
+    if oracle_dtype is None:
+        oracle_dtype = "float32" if adversarial else "float64"
     scene, data, config = _full_scene_and_config(adversarial)
     got = _full_outputs_np(
         _full_run(data, scene["rig"], config, jnp.float32)
     )
-    ref = _oracle_outputs(adversarial)
+    ref = _oracle_outputs(adversarial, oracle_dtype)
 
     mism = {}
     for key in (
@@ -321,6 +345,7 @@ def run_full_parity(adversarial: bool = False, prefix: str = "full_parity") -> d
         f"{prefix}_decisions_exact": decisions_exact,
         f"{prefix}_persons": int(fv.sum()),
         f"{prefix}_backend": jax.default_backend(),
+        f"{prefix}_oracle_dtype": oracle_dtype,
     }
     if not decisions_exact:
         out[f"{prefix}_decision_mismatches"] = {
