@@ -150,3 +150,194 @@ def association_cost(
     if n_used > 0:
         return total / n_used, veto
     return max_cost, True
+
+
+# --------------------------------------------------------------------------
+# gtsam-faithful Levenberg-Marquardt (pose_prior_mult_node.cpp:746-767)
+# --------------------------------------------------------------------------
+#
+# gtsam itself is not installable in this sandbox (no package, no network,
+# no vendored source), so this is a float64 re-implementation of the exact
+# semantics the reference relies on, written against gtsam 4.0.3's
+# documented behavior (LevenbergMarquardtOptimizer/Params, NonlinearOptimizer
+# ::defaultOptimize, Marginals):
+#
+#   * factor error convention: E = 0.5 * ||whitened residual||^2 summed over
+#     factors (NoiseModelFactor::error);
+#   * UnaryFactor (reference :126-145): identity-Jacobian 3D position prior
+#     with a full 3x3 Gaussian covariance noise model;
+#   * RangeFactor<Point3>: r = (||xi - xj|| - L) / sigma, Jacobians +-u^T
+#     with u the unit direction (Gauss-Newton H contribution
+#     w [uu^T, -uu^T; -uu^T, uu^T]);
+#   * damping: buildDampedSystem with diagonalDamping=false (the default)
+#     adds sqrt(lambda) unit priors on every variable -> H + lambda*I;
+#   * tryLambda acceptance: solve the damped system exactly, accept when the
+#     nonlinear cost decrease is non-negative AND modelFidelity =
+#     costChange / linearizedCostChange > minModelFidelity (default 1e-3),
+#     where linearizedCostChange is evaluated on the UNdamped Gauss-Newton
+#     model m(d) = E + g.d + 0.5 d^T H d; on accept lambda /= lambdaFactor
+#     (useFixedLambdaFactor default), on reject lambda *= lambdaFactor until
+#     lambdaUpperBound aborts the iteration;
+#   * defaultOptimize loop: repeat iterate() until maxIterations or
+#     checkConvergence(relativeErrorTol, absoluteErrorTol, errorTol,
+#     previousError, currentError);
+#   * checkConvergence: newError <= errorTol, OR absoluteDecrease <=
+#     absoluteErrorTol, OR relativeDecrease <= relativeErrorTol;
+#   * Marginals(graph, result): per-variable 3x3 diagonal block of the
+#     inverse UNdamped Gauss-Newton Hessian at the result, raising
+#     (IndeterminantLinearSystemException) on a singular system.
+#
+# Known residual gaps vs the real library (documented in STATUS.md): gtsam
+# counts only ACCEPTED steps as iterations (lambda retries are an inner
+# loop); per-iteration numbers also differ when a step decreases the error
+# but fails the modelFidelity gate (gtsam retries with larger lambda). Both
+# sides converge to the same stationary point; `attempts_cap` exists so a
+# truncated run can be compared attempt-for-attempt against prior.optimize's
+# while_loop, whose counter ticks once per damped solve.
+
+GTSAM_LM_DEFAULTS = dict(
+    lambda_initial=1e-5,
+    lambda_factor=10.0,
+    lambda_upper=1e5,
+    min_model_fidelity=1e-3,
+    max_iterations=100,
+    relative_error_tol=1e-5,
+    absolute_error_tol=1e-5,
+    error_tol=0.0,
+)
+
+
+class GtsamLMGraph:
+    """Active-subgraph factor graph: variables are the MEASURED joints only
+    (gtsam has no key for an unmeasured joint), unary info = inverse of the
+    (normalized) measurement covariance, bones between measured endpoints."""
+
+    def __init__(self, keys, meas, info, bones):
+        self.keys = list(keys)                    # joint indices, sorted
+        self.idx = {k: i for i, k in enumerate(self.keys)}
+        self.meas = {k: np.asarray(meas[k], np.float64) for k in self.keys}
+        self.info = {k: np.asarray(info[k], np.float64) for k in self.keys}
+        self.bones = [
+            (i, j, float(L), float(sig)) for (i, j, L, sig) in bones
+        ]
+        self.n = len(self.keys)
+
+    def error(self, x):
+        e = 0.0
+        for k in self.keys:
+            r = x[self.idx[k]] - self.meas[k]
+            e += 0.5 * float(r @ self.info[k] @ r)
+        for (i, j, L, sig) in self.bones:
+            d = x[self.idx[i]] - x[self.idx[j]]
+            r = (np.linalg.norm(d) - L) / sig
+            e += 0.5 * r * r
+        return e
+
+    def linearize(self, x):
+        n3 = 3 * self.n
+        h = np.zeros((n3, n3))
+        g = np.zeros(n3)
+        for k in self.keys:
+            a = 3 * self.idx[k]
+            r = x[self.idx[k]] - self.meas[k]
+            h[a : a + 3, a : a + 3] += self.info[k]
+            g[a : a + 3] += self.info[k] @ r
+        for (i, j, L, sig) in self.bones:
+            a, b = 3 * self.idx[i], 3 * self.idx[j]
+            d = x[self.idx[i]] - x[self.idx[j]]
+            nrm = np.linalg.norm(d)
+            u = d / nrm if nrm > 1e-12 else np.zeros(3)
+            w = 1.0 / (sig * sig)
+            r = nrm - L
+            uu = w * np.outer(u, u)
+            h[a : a + 3, a : a + 3] += uu
+            h[b : b + 3, b : b + 3] += uu
+            h[a : a + 3, b : b + 3] -= uu
+            h[b : b + 3, a : a + 3] -= uu
+            g[a : a + 3] += w * r * u
+            g[b : b + 3] -= w * r * u
+        return h, g
+
+
+def gtsam_lm_optimize(graph, x0, attempts_cap=None, **overrides):
+    """LevenbergMarquardtOptimizer(graph, x0).optimize() semantics.
+
+    x0: dict key -> xyz (prevEstimate after setInitialState).
+    Returns (x_dict, stats) with stats = dict(iterations, attempts,
+    rejections, final_error, converged).
+    """
+    p = dict(GTSAM_LM_DEFAULTS)
+    p.update(overrides)
+    x = np.stack([np.asarray(x0[k], np.float64) for k in graph.keys])
+    lam = p["lambda_initial"]
+    err = graph.error(x)
+    iterations = attempts = rejections = 0
+    converged = False
+    while iterations < p["max_iterations"]:
+        prev_err = err
+        # --- one iterate(): tryLambda until accept or lambda overflow.
+        h, g = graph.linearize(x)
+        accepted = False
+        while True:
+            if attempts_cap is not None and attempts >= attempts_cap:
+                stats = dict(iterations=iterations, attempts=attempts,
+                             rejections=rejections, final_error=err,
+                             converged=converged)
+                return {k: x[graph.idx[k]] for k in graph.keys}, stats
+            attempts += 1
+            damped = h + lam * np.eye(h.shape[0])
+            try:
+                delta = np.linalg.solve(damped, -g)
+            except np.linalg.LinAlgError:
+                delta = None
+            if delta is not None and np.isfinite(delta).all():
+                model_decrease = -(g @ delta + 0.5 * delta @ h @ delta)
+                x_new = x + delta.reshape(-1, 3)
+                new_err = graph.error(x_new)
+                cost_change = err - new_err
+                if model_decrease > 0 and cost_change >= 0 and (
+                    cost_change / model_decrease > p["min_model_fidelity"]
+                ):
+                    x, err = x_new, new_err
+                    lam /= p["lambda_factor"]
+                    accepted = True
+                    break
+            rejections += 1
+            lam *= p["lambda_factor"]
+            if lam >= p["lambda_upper"]:
+                break
+        iterations += 1
+        if not accepted:
+            break  # lambda overflow: optimize() gives up (returns best x)
+        # --- checkConvergence(prev_err, err)
+        abs_dec = prev_err - err
+        rel_dec = abs_dec / prev_err if prev_err > 0 else 0.0
+        if (
+            err <= p["error_tol"]
+            or abs_dec <= p["absolute_error_tol"]
+            or rel_dec <= p["relative_error_tol"]
+        ):
+            converged = True
+            break
+    stats = dict(iterations=iterations, attempts=attempts,
+                 rejections=rejections, final_error=err,
+                 converged=converged)
+    return {k: x[graph.idx[k]] for k in graph.keys}, stats
+
+
+def gtsam_marginals(graph, x_dict):
+    """Marginals(graph, result).marginalCovariance(k) for every key: the
+    3x3 diagonal blocks of the inverse undamped Hessian. Raises
+    np.linalg.LinAlgError on an indeterminate system (gtsam's
+    IndeterminantLinearSystemException)."""
+    x = np.stack([np.asarray(x_dict[k], np.float64) for k in graph.keys])
+    h, _ = graph.linearize(x)
+    # Match gtsam: an exactly singular information matrix must raise.
+    if np.linalg.matrix_rank(h) < h.shape[0]:
+        raise np.linalg.LinAlgError("indeterminate linear system")
+    cov = np.linalg.inv(h)
+    return {
+        k: cov[3 * graph.idx[k] : 3 * graph.idx[k] + 3,
+               3 * graph.idx[k] : 3 * graph.idx[k] + 3]
+        for k in graph.keys
+    }
