@@ -194,7 +194,10 @@ def main():
     scaled_fps = None
     scaled_error = None
     try:
-        s_frames = 128
+        # 256-frame window: with depth-1 pipelining below, the one
+        # unhidden ~25 ms remote-dispatch falls to <0.03 ms/frame, so the
+        # number measures the device, not this sandbox's tunnel.
+        s_frames = 256
         s_scene = synthetic.generate_scene(
             synthetic.SceneConfig(
                 num_cameras=64, num_people=25, num_frames=s_frames, seed=1
@@ -217,14 +220,23 @@ def main():
         _, s_out = s_pipe.run_offline(s_state, sf)
         jax.block_until_ready(s_out)
         t0 = time.perf_counter()
-        # Per-rep blocking here (unlike the 16-cam headline): two in-flight
-        # 64-cam x 25-person x 128-frame executions would keep both reps'
-        # workspaces live concurrently and risk device OOM surfacing as a
-        # spurious scaled_error. Dispatch overhead is <1% at this runtime.
-        for _ in range(2):
+        # Depth-1 pipelining: dispatch rep i+1 before blocking rep i, so the
+        # ~25 ms remote-dispatch tunnel of this sandbox overlaps device
+        # execution (at 128 frames x ~2 ms it is otherwise ~9% of the
+        # measured budget), while never keeping more than TWO reps'
+        # workspaces live (unbounded in-flight 64-cam x 25-person runs risk
+        # device OOM surfacing as a spurious scaled_error).
+        n_scaled_rep = 4
+        prev = None
+        for _ in range(n_scaled_rep):
             _, s_out = s_pipe.run_offline(s_state, sf)
-            jax.block_until_ready(s_out)
-        scaled_fps = round(s_frames / ((time.perf_counter() - t0) / 2), 2)
+            if prev is not None:
+                jax.block_until_ready(prev)
+            prev = s_out
+        jax.block_until_ready(prev)
+        scaled_fps = round(
+            s_frames / ((time.perf_counter() - t0) / n_scaled_rep), 2
+        )
     except Exception as e:  # context metric only; never fail the bench —
         # but record the failure so a scaled regression is visible in the
         # artifact instead of a silent null.
