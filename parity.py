@@ -324,9 +324,17 @@ def run_full_parity(
         np.abs(got["fused_xyz"] - ref["fused_xyz"])[on].max(initial=0.0)
     ) * 1e3
     on_p = got["pred_valid"] & ref["pred_valid"]
-    pred_mm = float(
-        np.abs(got["pred_xyz"] - ref["pred_xyz"])[on_p].max(initial=0.0)
-    ) * 1e3
+    pred_abs = np.abs(got["pred_xyz"] - ref["pred_xyz"])[on_p]
+    pred_mm = float(pred_abs.max(initial=0.0)) * 1e3
+    # p99 rides along with the max: the worst pred entries are tracks on
+    # their FIRST published frame, whose velocity buffers were filled during
+    # unpublished warm-up frames — a window no published output constrains,
+    # so two f32 backends legitimately accumulate different velocity
+    # estimates there (verified: the same joint's published position agrees
+    # to ~0.0004 mm on the worst entry). The p99 shows the bulk is tight.
+    pred_p99_mm = (
+        float(np.percentile(pred_abs, 99)) * 1e3 if pred_abs.size else 0.0
+    )
     on_fb = got["fb_kp_valid"] & ref["fb_kp_valid"]
     fb_px = float(
         np.abs(got["fb_kp2d"][..., :2] - ref["fb_kp2d"][..., :2])[
@@ -336,6 +344,7 @@ def run_full_parity(
     out = {
         f"{prefix}_worst_mm": round(worst_mm, 4),
         f"{prefix}_pred_worst_mm": round(pred_mm, 4),
+        f"{prefix}_pred_p99_mm": round(pred_p99_mm, 4),
         f"{prefix}_feedback_worst_px": round(fb_px, 4),
         f"{prefix}_pred_dt_worst_ms": round(
             float(np.abs(got["pred_delta_t"] - ref["pred_delta_t"]).max())
