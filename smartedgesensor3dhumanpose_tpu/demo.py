@@ -50,14 +50,7 @@ def build_demo(num_cameras: int, num_people: int, num_frames: int, seed: int):
         tracker=TrackerConfig(max_tracks=2 * num_people),
     )
     data = synthetic.frames_from_scene(scene)
-    frames = Frame(
-        kp2d=jnp.asarray(data["kp2d"]),
-        cov2d=jnp.asarray(data["cov2d"]),
-        det_score=jnp.asarray(data["det_score"]),
-        det_valid=jnp.asarray(data["det_valid"]),
-        cam_stamp=jnp.asarray(data["cam_stamp"], jnp.float32),
-        fb_delay=jnp.asarray(data["fb_delay"]),
-    )
+    frames = Frame.from_arrays(data)
     return scene, config, frames, pipeline.Pipeline(scene["rig"], config)
 
 

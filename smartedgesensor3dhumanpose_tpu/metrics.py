@@ -130,23 +130,11 @@ def sequence_joint_errors(
     Returns:
       [N] concatenated joint errors in meters (empty when nothing matched).
     """
-    xyz = np.asarray(xyz)
-    score = np.asarray(score)
-    valid = np.asarray(valid)
-    gt_xyz = np.asarray(gt_xyz)
-    if to_fusion is not None:
-        sel = np.asarray(to_fusion)
-        xyz = xyz[..., sel, :]
-        score = score[..., sel]
-    errs: List[np.ndarray] = []
-    for t in range(start, gt_xyz.shape[0]):
-        errs.extend(
-            frame_joint_errors(
-                xyz[t], score[t], valid[t], gt_xyz[t],
-                min_joints=min_joints, max_match_dist=max_match_dist,
-            )
-        )
-    return np.concatenate(errs) if errs else np.zeros((0,))
+    return evaluate_sequence(
+        xyz, score, valid, gt_xyz,
+        to_fusion=to_fusion, start=start,
+        min_joints=min_joints, max_match_dist=max_match_dist,
+    ).joint_errors
 
 
 class SequenceEval(NamedTuple):

@@ -151,31 +151,34 @@ def _assoc_kernel(
         big = (ct > gate).astype(f32)
         conf_b = conf_all[b:b + 1, :]  # [1, Xp]
         # Precision split — correctness-critical, not a nicety: at the MXU
-        # default (one bf16 pass) real-valued rows are rounded to 8
+        # default (one bf16 pass) a real-valued row is rounded to 8
         # mantissa bits before the multiply (~0.4% relative error), which
         # flips near-gate veto/feasibility decisions vs the XLA scan path
         # (observed on the adversarial bench scene: 3 person-validity flips
-        # over 64 frames). The cost and confidence-vote rows therefore run
-        # at HIGHEST (the 3-way f32 split makes the product against the
-        # exact {0,1} one-hot reconstruct each value exactly, like
-        # linalg.heinsum in fusion._associate_camera), while the {0,1}
-        # usable/big rows are exact in a single bf16 pass and skip the 6x
-        # pass cost.
-        rhs_real = jnp.concatenate(
-            [jnp.maximum(ct, 0.0), big * conf_b], axis=0
-        )  # [2Dp, Xp]
-        rhs_bool = jnp.concatenate([usable, big], axis=0)  # [2Dp, Xp]
+        # over 64 frames). Only the COST row is real-valued, so it alone
+        # runs at HIGHEST (the 3-way f32 split makes the product against
+        # the exact {0,1} one-hot reconstruct each value exactly, like
+        # linalg.heinsum in fusion._associate_camera). The other three rows
+        # are strictly {0,1} — usable/big by construction, and the
+        # vote-confident row big*conf_b because conf_obs is a 0/1 flag
+        # ((det_score > 0.5), fusion.py:363, zero-padded in _pack_inputs) —
+        # so they are exact in a single bf16 pass with f32 accumulation
+        # (counts <= Xp << 2^24) and skip the multi-pass cost.
+        rhs_real = jnp.maximum(ct, 0.0)  # [Dp, Xp]
+        rhs_bool = jnp.concatenate(
+            [usable, big, big * conf_b], axis=0
+        )  # [3Dp, Xp]
         sums_real = jax.lax.dot(
             rhs_real, oh, preferred_element_type=f32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [2Dp, H-lanes]
+        )  # [Dp, H-lanes]
         sums_bool = jax.lax.dot(
             rhs_bool, oh, preferred_element_type=f32
-        )  # [2Dp, H-lanes]
-        total = sums_real[0:dp]
-        votes_conf = sums_real[dp:2 * dp]
+        )  # [3Dp, H-lanes]
+        total = sums_real
         n_obs_used = sums_bool[0:dp]
         votes_all = sums_bool[dp:2 * dp]
+        votes_conf = sums_bool[2 * dp:3 * dp]
 
         # Veto accumulation (:344-381) — identical arithmetic to
         # fusion._associate_camera, transposed to [Dp, H].

@@ -26,7 +26,6 @@ import time
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from smartedgesensor3dhumanpose_tpu import pipeline as pl
 from smartedgesensor3dhumanpose_tpu import fusion, reprojection, tracking
@@ -184,14 +183,7 @@ def _demo_inputs(big: bool, batch: int | None, num_frames: int | None):
         )
     )
     data = synthetic.frames_from_scene(scene)
-    frames = Frame(
-        kp2d=jnp.asarray(data["kp2d"]),
-        cov2d=jnp.asarray(data["cov2d"]),
-        det_score=jnp.asarray(data["det_score"]),
-        det_valid=jnp.asarray(data["det_valid"]),
-        cam_stamp=jnp.asarray(data["cam_stamp"], jnp.float32),
-        fb_delay=jnp.asarray(data["fb_delay"]),
-    )
+    frames = Frame.from_arrays(data)
     return pl.Pipeline(scene["rig"], config, fusion_batch=batch), frames
 
 

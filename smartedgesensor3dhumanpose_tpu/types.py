@@ -36,6 +36,23 @@ class Frame(NamedTuple):
     def num_cameras(self) -> int:
         return self.kp2d.shape[0]
 
+    @classmethod
+    def from_arrays(cls, data) -> "Frame":
+        """Device Frame from a dict of host arrays in field layout (as
+        returned by `io.synthetic.frames_from_scene` / the replay loaders);
+        leading axes pass through, so a [T, ...] stack works too.
+        Centralizes the one dtype quirk every call site was hand-repeating:
+        `cam_stamp` goes to float32 on device (host setup keeps f64; the
+        device stages only ever *difference* stamps)."""
+        return cls(
+            kp2d=jnp.asarray(data["kp2d"]),
+            cov2d=jnp.asarray(data["cov2d"]),
+            det_score=jnp.asarray(data["det_score"]),
+            det_valid=jnp.asarray(data["det_valid"]),
+            cam_stamp=jnp.asarray(data["cam_stamp"], jnp.float32),
+            fb_delay=jnp.asarray(data["fb_delay"]),
+        )
+
 
 class CameraRig(NamedTuple):
     """Static calibration of the camera array.
