@@ -300,6 +300,24 @@ def run_full_parity(
     if outs is None:
         scene, data, config = _full_scene_and_config(adversarial)
         outs = _full_run(data, scene["rig"], config, jnp.float32)
+    else:
+        # Caller-supplied outputs are trusted to come from THIS function's
+        # exact scene + config; pin the cheap invariants (frame count and
+        # feedback camera/detection geometry) so a future bench.py edit
+        # that drifts the adversarial-throughput run (different scene knobs
+        # or det capacity) fails loudly here instead of publishing an
+        # artifact comparing mismatched runs.
+        _, data, config = _full_scene_and_config(adversarial)
+        t, c = data["kp2d"].shape[:2]
+        got_shape = tuple(outs.fused.xyz.shape)
+        want_shape = (t, config.tracker.max_tracks) + got_shape[2:]
+        if got_shape != want_shape or outs.feedback.kp2d.shape[1] != c:
+            raise ValueError(
+                f"run_full_parity(outs=...): supplied outputs have shape "
+                f"fused={got_shape}, feedback C={outs.feedback.kp2d.shape[1]} "
+                f"but the {prefix} scene/config expects fused={want_shape}, "
+                f"C={c} — bench run and parity scene have diverged"
+            )
     got = _full_outputs_np(outs)
     ref = _oracle_outputs(adversarial, oracle_dtype)
 

@@ -116,6 +116,7 @@ def sequence_joint_errors(
     start: int = 0,
     min_joints: int = 5,
     max_match_dist: float = 0.5,
+    gt_valid: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """All matched per-joint errors over a sequence.
 
@@ -134,6 +135,7 @@ def sequence_joint_errors(
         xyz, score, valid, gt_xyz,
         to_fusion=to_fusion, start=start,
         min_joints=min_joints, max_match_dist=max_match_dist,
+        gt_valid=gt_valid,
     ).joint_errors
 
 
@@ -161,11 +163,19 @@ def evaluate_sequence(
     start: int = 0,
     min_joints: int = 5,
     max_match_dist: float = 0.5,
+    gt_valid: Optional[np.ndarray] = None,
 ) -> SequenceEval:
     """`sequence_joint_errors` plus match accounting (misses, coverage).
 
     Same arguments; returns a SequenceEval whose `joint_errors` equals the
     `sequence_joint_errors` output for identical inputs.
+
+    `gt_valid` ([T, G] bool, optional) marks which GT person slots hold a
+    real person per frame. External GT sources commonly pad to a fixed
+    person axis (people enter/leave the scene); without the mask every
+    padded slot would count as an unmatched person and inflate miss_rate.
+    The synthetic generator's GT has every slot live, so `None` (all valid)
+    is correct there.
     """
     xyz = np.asarray(xyz)
     score = np.asarray(score)
@@ -175,13 +185,21 @@ def evaluate_sequence(
         sel = np.asarray(to_fusion)
         xyz = xyz[..., sel, :]
         score = score[..., sel]
+    if gt_valid is not None:
+        gt_valid = np.asarray(gt_valid).astype(bool)
+        if gt_valid.shape != gt_xyz.shape[:2]:
+            raise ValueError(
+                f"gt_valid shape {gt_valid.shape} != gt person axes "
+                f"{gt_xyz.shape[:2]}"
+            )
     errs: List[np.ndarray] = []
     covs: List[float] = []
     n_gt = 0
     for t in range(start, gt_xyz.shape[0]):
-        n_gt += gt_xyz.shape[1]
+        gt_t = gt_xyz[t] if gt_valid is None else gt_xyz[t][gt_valid[t]]
+        n_gt += gt_t.shape[0]
         for m in frame_matches(
-            xyz[t], score[t], valid[t], gt_xyz[t],
+            xyz[t], score[t], valid[t], gt_t,
             min_joints=min_joints, max_match_dist=max_match_dist,
         ):
             errs.append(m.errors)

@@ -115,6 +115,38 @@ def test_evaluate_sequence_accounting():
     assert ev0.miss_rate == 1.0
 
 
+def test_evaluate_sequence_gt_validity_mask():
+    """Padded GT person slots masked out by gt_valid must not count as
+    misses: 3 slots, only 2 live, both matched -> miss_rate 0."""
+    t, g, j = 4, 3, 17
+    rng = np.random.default_rng(2)
+    gt = rng.normal(size=(t, g, j, 3))
+    gt[:, 2] = 0.0  # padded slot (would sit at the origin in real padding)
+    gt_valid = np.ones((t, g), bool)
+    gt_valid[:, 2] = False
+    xyz = gt[:, :2].copy()
+    xyz[..., 0] += 0.03
+    score = np.ones((t, 2, j))
+    valid = np.ones((t, 2), bool)
+    ev = metrics.evaluate_sequence(
+        xyz, score, valid, gt, start=1, gt_valid=gt_valid
+    )
+    assert ev.n_gt == (t - 1) * 2
+    assert ev.n_matched == (t - 1) * 2
+    assert ev.miss_rate == 0.0
+    np.testing.assert_allclose(ev.joint_errors, 0.03, rtol=1e-6)
+    # Without the mask the padded slot inflates the miss rate.
+    ev_nomask = metrics.evaluate_sequence(xyz, score, valid, gt, start=1)
+    np.testing.assert_allclose(ev_nomask.miss_rate, 1.0 / 3.0, rtol=1e-9)
+    # Shape mismatch fails loudly.
+    import pytest
+
+    with pytest.raises(ValueError):
+        metrics.evaluate_sequence(
+            xyz, score, valid, gt, gt_valid=gt_valid[:, :2]
+        )
+
+
 def test_rig_save_load_roundtrip(tmp_path):
     rig = cameras.hall_rig(6)
     path = str(tmp_path / "rig.json")
