@@ -176,8 +176,13 @@ def main():
     # one compiled scan — zero per-call dispatch, so wall/K is the genuine
     # device cost of a step (the defensible latency number; the per-call
     # p50 above is 90% environment here).
-    k_dev = 64
-    sub = jax.tree.map(lambda a: a[:k_dev], frames)
+    # One wall-clock window still carries ONE remote-dispatch round trip
+    # (tens of ms through this sandbox's tunnel), so amortize it over the
+    # longest chain the bench scene allows and take the min over a few
+    # calls — at k_dev=64 the tunnel alone added a run-to-run ~0.5-0.8
+    # ms/step swing to this metric.
+    k_dev = frames.cam_stamp.shape[0]  # 256: full bench scene
+    sub = frames
     # NOTE: the chain jit DONATES its state argument on TPU
     # (pipeline.Pipeline._chain, donate_argnums=(0,)), so the state must be
     # rebuilt per call — reusing one across calls hits a deleted buffer
@@ -185,10 +190,14 @@ def main():
     # frames here, unlike the per-rep run_offline loops below.
     st2, outs2 = pipe.run_per_frame_chain(pipe.init_state(), sub)
     jax.block_until_ready(outs2)
-    t0 = time.perf_counter()
-    st2, outs2 = pipe.run_per_frame_chain(pipe.init_state(), sub)
-    jax.block_until_ready(outs2)
-    device_step_ms = (time.perf_counter() - t0) / k_dev * 1e3
+    device_step_ms = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st2, outs2 = pipe.run_per_frame_chain(pipe.init_state(), sub)
+        jax.block_until_ready(outs2)
+        device_step_ms = min(
+            device_step_ms, (time.perf_counter() - t0) / k_dev * 1e3
+        )
 
     # ---- scaled 64-camera x 25-person hall (context metric; the headline
     # stays the 16-cam demo the 500 fps target refers to).
